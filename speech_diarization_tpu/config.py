@@ -1,0 +1,199 @@
+"""Unified, unit-consistent configuration schema.
+
+The reference duplicates hyperparameters across three CLI styles with
+inconsistent names/units and a positional-argument bug that silently shifts
+every value by one slot (``anti_stick_diarize.py:563-599``; see SURVEY.md §2.5
+item 3).  Here there is exactly ONE schema: every duration field carries an
+explicit unit suffix (``_s`` seconds / ``_ms`` milliseconds), every entry point
+hydrates the same frozen dataclasses by keyword, and defaults exist in one
+place only.
+
+Maps to the reference's ``DiarizationParameters``
+(``diarization_baseline.py:27-39``) plus the 17 tunables of
+``anti_stick_diarize.diarize()`` (``anti_stick_diarize.py:493-511``) and the
+knobs of ``diar_diag.main()`` (``diar_diag.py:297-321``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    """Audio I/O + preprocessing (reference: ``anti_stick_diarize.py:29-61``)."""
+
+    sample_rate: int = 16000
+    target_lufs: float | None = -18.0  # loudness normalization target; None = off
+    preemphasis: float | None = 0.97   # pre-emphasis coefficient; None = off
+    remove_dc: bool = True
+
+
+@dataclass(frozen=True)
+class VadConfig:
+    """VAD scoring + post-processing (reference: ``vad.py:167-186``)."""
+
+    win_ms: float = 30.0
+    hop_ms: float = 10.0
+    on_threshold: float = 0.6
+    off_threshold: float = 0.4
+    morph_open_ms: float = 80.0
+    morph_close_ms: float = 40.0
+    min_speech_ms: float = 250.0
+    min_silence_ms: float = 100.0
+    speech_pad_ms: float = 40.0
+    batch_frames: int = 8192  # frames per jitted VAD call (dense grid chunk)
+
+
+@dataclass(frozen=True)
+class ScdConfig:
+    """Speaker-change detection (reference: ``anti_stick_diarize.py:78-127``)."""
+
+    enabled: bool = True
+    win_ms: float = 1000.0
+    hop_ms: float = 200.0
+    peak_z_threshold: float = 1.5
+    min_speech_ms: float = 1000.0
+
+
+@dataclass(frozen=True)
+class EmbedConfig:
+    """Speaker-embedding extraction (reference: ``anti_stick_diarize.py:130-172``)."""
+
+    backend: str = "ecapa"            # ecapa | eres2netv2 | campp
+    dim: int = 192
+    # 'grid'   : embed a dense [n_windows, win] grid once and derive segment
+    #            embeddings as masked means (TPU-first; no per-segment launches).
+    # 'bucketed': per-segment snippets padded to bucketed lengths (reference-style,
+    #            mirrors pad-to-batch-max at anti_stick_diarize.py:150-169).
+    mode: str = "grid"
+    grid_win_s: float = 1.5
+    grid_hop_s: float = 0.75
+    min_duration_ms: float = 500.0    # short segments get context padding
+    pad_duration_ms: float = 150.0
+    batch_size: int = 128
+    whiten: bool = False              # embedding whitening (diar_diag.py:187-194)
+    dtype: str = "bfloat16"           # model compute dtype (f32 accumulation)
+
+
+@dataclass(frozen=True)
+class ClusterConfig:
+    """Clustering (reference: ``anti_stick_diarize.py:175-270``, ``diar_diag.py:213-229``)."""
+
+    method: str = "spectral"          # spectral | ahc | hdbscan | hdbscan2
+    min_speakers: int = 1
+    max_speakers: int = 8
+    # AHC / agglomerative threshold on cosine similarity (diar_diag cos_thr=0.68,
+    # baseline clustering_threshold=0.70).
+    cos_threshold: float = 0.70
+    min_cluster_size: int = 2         # HDBSCAN-style density floor
+    # spectral refinement
+    p_percentile: float = 0.90
+    asnorm: bool = False              # AS-Norm scoring (diar_diag.py:197-208)
+    asnorm_topk: int = 200
+
+
+@dataclass(frozen=True)
+class ResegConfig:
+    """Frame-level reassignment + HMM smoothing
+    (reference: ``anti_stick_diarize.py:390-460``, ``diar_diag.py:231-247``)."""
+
+    enabled: bool = True
+    win_s: float = 1.0
+    hop_s: float = 0.1
+    hmm: bool = False                 # sticky-HMM Viterbi over scores
+    hmm_self_loop: float = 0.995      # alpha at diar_diag.py:231
+    adjacent_gap_s: float = 0.05      # final adjacency merge (anti_stick:459)
+
+
+@dataclass(frozen=True)
+class MergeConfig:
+    """Segment merge / boundary ops (reference: ``anti_stick_diarize.py:273-330``,
+    ``diarization_baseline.py:188-233``)."""
+
+    max_gap_s: float = 0.5
+    max_turn_s: float = 30.0
+    min_cos: float = 0.80
+    boundary_pad_s: float = 0.04      # pad into silence (baseline fade_ms*2/1000)
+    min_speech_s: float = 0.0         # drop segments shorter than this
+
+
+@dataclass(frozen=True)
+class StemsConfig:
+    """Per-speaker stem extraction (reference: ``diarization_baseline.py:42-160``)."""
+
+    max_segment_s: float = 20.0
+    max_gap_s: float = 1.5
+    fade_ms: float = 20.0
+    min_stem_s: float = 3.0
+
+
+@dataclass(frozen=True)
+class EnhanceConfig:
+    """Speech-enhancement front-end (reference: ``gtcrn_wrap.py``, ``zipenhancex.py``)."""
+
+    enabled: bool = False
+    backend: str = "gtcrn"            # gtcrn | zipenhancer
+    # GTCRN long-audio chunking (gtcrn_wrap.py:101-107)
+    chunk_s: float = 360.0
+    overlap_s: float = 1.0
+    # ZipEnhancer windowed inference (zipenhancex.py:16-25)
+    window_s: float = 2.0
+    hop_ratio: float = 0.75
+    batch_size: int = 64
+
+
+@dataclass(frozen=True)
+class ShardingConfig:
+    """TPU mesh / parallelism (new; reference has none — SURVEY.md §2.3)."""
+
+    data_axis: str = "dp"
+    model_axis: str = "tp"
+    # number of chips along each axis; -1 = all available on data axis
+    dp: int = -1
+    tp: int = 1
+
+
+@dataclass(frozen=True)
+class DiarizationConfig:
+    """Top-level config: the single source of truth for all pipelines."""
+
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    vad: VadConfig = field(default_factory=VadConfig)
+    scd: ScdConfig = field(default_factory=ScdConfig)
+    embed: EmbedConfig = field(default_factory=EmbedConfig)
+    cluster: ClusterConfig = field(default_factory=ClusterConfig)
+    reseg: ResegConfig = field(default_factory=ResegConfig)
+    merge: MergeConfig = field(default_factory=MergeConfig)
+    stems: StemsConfig = field(default_factory=StemsConfig)
+    enhance: EnhanceConfig = field(default_factory=EnhanceConfig)
+    sharding: ShardingConfig = field(default_factory=ShardingConfig)
+
+
+def _hydrate(cls, data: Mapping[str, Any]):
+    """Strict keyword hydration (the `dacite.from_dict(strict=True)` idea from
+    ``diarization_baseline.py:360-365``): unknown keys raise, wrong nesting raises."""
+    if not dataclasses.is_dataclass(cls):
+        return data
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(data) - set(fields)
+    if unknown:
+        raise KeyError(f"unknown config keys for {cls.__name__}: {sorted(unknown)}")
+    kwargs = {}
+    for name, value in data.items():
+        factory = fields[name].default_factory
+        if isinstance(value, Mapping) and factory is not dataclasses.MISSING:
+            kwargs[name] = _hydrate(factory, value)
+        else:
+            kwargs[name] = value
+    return cls(**kwargs)
+
+
+def config_from_dict(data: Mapping[str, Any]) -> DiarizationConfig:
+    """Build a :class:`DiarizationConfig` from a (possibly nested) dict, strictly."""
+    return _hydrate(DiarizationConfig, data)
+
+
+def config_to_dict(cfg) -> dict:
+    return dataclasses.asdict(cfg)

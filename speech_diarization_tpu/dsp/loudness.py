@@ -1,0 +1,122 @@
+"""ITU-R BS.1770-4 loudness metering and normalization, on device.
+
+Replaces ``pyloudnorm``-based LUFS normalization (``anti_stick_diarize.py:53-61``,
+``diar_diag.py:36-43``, ``zipenhancer_pipe.py:70-95``).
+
+Design: the K-weighting pre-filter (high-shelf + RLB high-pass biquad cascade)
+is applied in the frequency domain — the cascade's exact transfer function is
+evaluated at rfft bins and multiplied in, with decay padding so the circular
+product equals linear IIR filtering to ~1e-6.  A 57M-sample ``lax.scan`` biquad
+would serialize the TPU; one rfft/irfft pair does not.  Gating follows
+BS.1770-4: 400 ms blocks, 75% overlap, -70 LUFS absolute gate, -10 LU relative
+gate.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .framing import frame_signal
+
+
+def _high_shelf_coeffs(fs: float, g_db: float = 4.0, fc: float = 1681.9744509555319,
+                       q: float = 0.7071752369554196) -> tuple[np.ndarray, np.ndarray]:
+    """Stage-1 'spherical head' high-shelf (BS.1770 / pyloudnorm parametrization)."""
+    a = 10.0 ** (g_db / 40.0)
+    w0 = 2.0 * np.pi * fc / fs
+    alpha = np.sin(w0) / (2.0 * q)
+    cw = np.cos(w0)
+    sa = 2.0 * np.sqrt(a) * alpha
+    b = np.array([
+        a * ((a + 1) + (a - 1) * cw + sa),
+        -2.0 * a * ((a - 1) + (a + 1) * cw),
+        a * ((a + 1) + (a - 1) * cw - sa),
+    ])
+    aa = np.array([(a + 1) - (a - 1) * cw + sa,
+                   2.0 * ((a - 1) - (a + 1) * cw),
+                   (a + 1) - (a - 1) * cw - sa])
+    return b / aa[0], aa / aa[0]
+
+
+def _high_pass_coeffs(fs: float, fc: float = 38.13547087602444,
+                      q: float = 0.5003270373238773) -> tuple[np.ndarray, np.ndarray]:
+    """Stage-2 RLB high-pass."""
+    w0 = 2.0 * np.pi * fc / fs
+    alpha = np.sin(w0) / (2.0 * q)
+    cw = np.cos(w0)
+    b = np.array([(1 + cw) / 2.0, -(1 + cw), (1 + cw) / 2.0])
+    aa = np.array([1 + alpha, -2.0 * cw, 1 - alpha])
+    return b / aa[0], aa / aa[0]
+
+
+def k_weighting_coeffs(fs: float) -> list[tuple[np.ndarray, np.ndarray]]:
+    return [_high_shelf_coeffs(fs), _high_pass_coeffs(fs)]
+
+
+@lru_cache(maxsize=16)
+def _k_freq_response(fs: int, n_fft: int) -> np.ndarray:
+    """Cascade transfer function at rfft bin frequencies, [n_fft//2+1] complex."""
+    w = np.linspace(0.0, np.pi, n_fft // 2 + 1)
+    z = np.exp(-1j * w)
+    h = np.ones_like(z, dtype=np.complex128)
+    for b, a in k_weighting_coeffs(float(fs)):
+        h *= (b[0] + b[1] * z + b[2] * z**2) / (a[0] + a[1] * z + a[2] * z**2)
+    return h.astype(np.complex64)
+
+
+_DECAY_PAD = 8192  # > IIR decay to <1e-6 at any fs we support
+
+
+def k_weight(y: jax.Array, fs: int) -> jax.Array:
+    """Apply the K-weighting cascade to [T] via FFT filtering (linear-phase
+    exact up to the cascade's decayed tail)."""
+    t = y.shape[-1]
+    n_fft = int(2 ** np.ceil(np.log2(t + _DECAY_PAD)))
+    h = jnp.asarray(_k_freq_response(fs, n_fft))
+    spec = jnp.fft.rfft(y, n=n_fft)
+    out = jnp.fft.irfft(spec * h, n=n_fft)
+    return out[..., :t]
+
+
+def integrated_loudness(y: jax.Array, fs: int) -> jax.Array:
+    """Gated integrated loudness (LUFS) of a mono [T] waveform; scalar array.
+
+    Returns -inf-ish (-200) for silence (no blocks pass the absolute gate),
+    mirroring pyloudnorm's -inf behavior.
+    """
+    z = k_weight(y, fs)
+    block = int(round(0.400 * fs))
+    hop = int(round(0.100 * fs))
+    if z.shape[-1] < block:
+        # too short to meter: fall back to whole-signal mean square
+        ms = jnp.mean(z * z)
+        return -0.691 + 10.0 * jnp.log10(jnp.maximum(ms, 1e-20))
+    frames = frame_signal(z, block, hop, pad_tail=False)  # [n, block]
+    msq = jnp.mean(frames * frames, axis=-1)  # [n]
+    lb = -0.691 + 10.0 * jnp.log10(jnp.maximum(msq, 1e-20))
+
+    abs_gate = lb > -70.0
+    n_abs = jnp.sum(abs_gate)
+    mean_abs = jnp.sum(jnp.where(abs_gate, msq, 0.0)) / jnp.maximum(n_abs, 1)
+    rel_thresh = -0.691 + 10.0 * jnp.log10(jnp.maximum(mean_abs, 1e-20)) - 10.0
+
+    gate = abs_gate & (lb > rel_thresh)
+    n_g = jnp.sum(gate)
+    mean_g = jnp.sum(jnp.where(gate, msq, 0.0)) / jnp.maximum(n_g, 1)
+    lufs = -0.691 + 10.0 * jnp.log10(jnp.maximum(mean_g, 1e-20))
+    return jnp.where(n_g > 0, lufs, -200.0)
+
+
+def loudness_normalize(
+    y: jax.Array, fs: int, target_lufs: float = -18.0, clip: float = 0.99
+) -> jax.Array:
+    """Scale ``y`` to the target integrated loudness, then clip — the behavior
+    of ``loudness_normalize`` at ``anti_stick_diarize.py:53-61``.  Silent input
+    is passed through unscaled (``diar_diag.py:37-43`` try/except intent)."""
+    lufs = integrated_loudness(y, fs)
+    gain = 10.0 ** ((target_lufs - lufs) / 20.0)
+    gain = jnp.where(lufs <= -199.0, 1.0, gain)
+    return jnp.clip(y * gain, -clip, clip)

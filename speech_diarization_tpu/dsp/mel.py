@@ -1,0 +1,113 @@
+"""Kaldi-style log-mel filterbank features, on device.
+
+Replaces ``fbank_batch`` (``speech_encode.py:10-38``), which rebuilt a
+``torchaudio.MelSpectrogram`` module and re-uploaded its filters to CUDA on
+EVERY call (SURVEY.md §2.5 item 5).  Here the mel matrix is a cached constant
+baked into the jitted graph, and the whole pipeline —
+frame → window → |DFT|² → mel → log → mean-norm — is a chain of MXU matmuls
+and fused elementwise ops.  A fused Pallas kernel for the same computation
+lives in ``ops/pallas/fused_fbank.py``.
+
+Contract (matches torchaudio defaults used by the reference):
+  win = hop*2.5 = 25 ms, hop = 10 ms, n_fft = win_length, Hann window,
+  center=True reflect pad, power=2, HTK mel scale, no filterbank norm,
+  f_min=20, f_max=sr/2-100, log(x + 1e-6), per-utterance mean-norm over time.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .framing import frame_signal
+from .stft import hann_window, _dft_matrices
+
+
+def _hz_to_mel(f: np.ndarray | float) -> np.ndarray:
+    return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+
+def _mel_to_hz(m: np.ndarray | float) -> np.ndarray:
+    return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+
+@lru_cache(maxsize=8)
+def _mel_filterbank_np(
+    n_freqs: int, f_min: float, f_max: float, n_mels: int, sample_rate: int
+) -> np.ndarray:
+    """Triangular HTK-scale mel filterbank [n_freqs, n_mels], norm=None —
+    the ``torchaudio.functional.melscale_fbanks`` construction."""
+    all_freqs = np.linspace(0, sample_rate // 2, n_freqs)
+    m_min, m_max = _hz_to_mel(f_min), _hz_to_mel(f_max)
+    m_pts = np.linspace(m_min, m_max, n_mels + 2)
+    f_pts = _mel_to_hz(m_pts)
+    f_diff = np.diff(f_pts)  # [n_mels + 1]
+    slopes = f_pts[None, :] - all_freqs[:, None]  # [n_freqs, n_mels + 2]
+    down = -slopes[:, :-2] / f_diff[None, :-1]
+    up = slopes[:, 2:] / f_diff[None, 1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+    return fb.astype(np.float32)
+
+
+def mel_filterbank(
+    n_freqs: int, f_min: float, f_max: float, n_mels: int, sample_rate: int
+) -> jax.Array:
+    return jnp.asarray(_mel_filterbank_np(n_freqs, f_min, f_max, n_mels, sample_rate))
+
+
+def log_mel_spectrogram(
+    y: jax.Array,
+    sample_rate: int = 16000,
+    n_mels: int = 80,
+    win_ms: float = 25.0,
+    hop_ms: float = 10.0,
+    f_min: float = 20.0,
+    f_max: float | None = None,
+    eps: float = 1e-6,
+    center: bool = True,
+) -> jax.Array:
+    """[B, T] waveforms -> [B, n_frames, n_mels] log-mel features.
+
+    The matmul-DFT power spectrum keeps everything on the MXU; with
+    center=True, reflect-pads n_fft//2 per side (torchaudio default).
+    """
+    if y.ndim == 1:
+        y = y[None]
+    win = int(sample_rate * win_ms / 1000.0)
+    hop = int(sample_rate * hop_ms / 1000.0)
+    n_fft = win
+    f_max = f_max if f_max is not None else sample_rate / 2 - 100.0
+
+    if center:
+        pad = n_fft // 2
+        y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+
+    frames = frame_signal(y, n_fft, hop, pad_tail=False)  # [B, n, n_fft]
+    window = hann_window(n_fft, periodic=True)
+    frames = frames * window[None, None, :]
+
+    cos_m, msin_m = _dft_matrices(n_fft)
+    real = jnp.einsum("bnt,tk->bnk", frames, jnp.asarray(cos_m))
+    imag = jnp.einsum("bnt,tk->bnk", frames, jnp.asarray(msin_m))
+    power = real * real + imag * imag  # [B, n, n_bins]
+
+    fb = mel_filterbank(n_fft // 2 + 1, f_min, f_max, n_mels, sample_rate)
+    mel = jnp.einsum("bnk,km->bnm", power, fb)
+    return jnp.log(mel + eps)
+
+
+def fbank_batch(
+    wavs: jax.Array,
+    sample_rate: int = 16000,
+    n_mels: int = 80,
+    mean_norm: bool = True,
+) -> jax.Array:
+    """Drop-in equivalent of the reference's ``fbank_batch``
+    (``speech_encode.py:10-38``): [B, n_samples] -> [B, T, n_mels],
+    log-mel with optional per-utterance mean normalization."""
+    feat = log_mel_spectrogram(wavs, sample_rate=sample_rate, n_mels=n_mels)
+    if mean_norm:
+        feat = feat - jnp.mean(feat, axis=1, keepdims=True)
+    return feat

@@ -1,0 +1,144 @@
+"""STFT / iSTFT with static shapes, matching ``torch.stft``/``torch.istft``
+semantics used by the reference GTCRN runner (``gtcrn_wrap.py:64-93``):
+center=True with reflect padding, sqrt-Hann window, length-restoring inverse.
+
+Two execution paths:
+  * ``jnp.fft.rfft`` (XLA FFT) — default.
+  * matmul DFT (``matmul=True``) — frames @ [win, 2*n_bins] cos/sin matrix.
+    On TPU this rides the MXU and fuses with neighbors; preferred inside
+    larger jitted graphs for the small FFT sizes used here (n_fft<=512).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .framing import frame_signal
+from .ola import overlap_add
+
+
+def hann_window(n: int, periodic: bool = True, dtype=jnp.float32) -> jax.Array:
+    """Matches ``torch.hann_window`` (periodic=True by default)."""
+    m = n if periodic else n - 1
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / max(m, 1))
+    return jnp.asarray(w, dtype=dtype)
+
+
+def sqrt_hann_window(n: int, periodic: bool = True, dtype=jnp.float32) -> jax.Array:
+    """sqrt(Hann), the analysis/synthesis window of ``gtcrn_wrap.py:47`` and
+    ``zipenhancex.py:181-183``."""
+    return jnp.sqrt(jnp.clip(hann_window(n, periodic, dtype), 0.0, None))
+
+
+@lru_cache(maxsize=8)
+def _dft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT basis as two dense [n_fft, n_bins] matrices (cos, -sin)."""
+    n_bins = n_fft // 2 + 1
+    t = np.arange(n_fft)[:, None]
+    k = np.arange(n_bins)[None, :]
+    ang = 2.0 * np.pi * t * k / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+def stft(
+    y: jax.Array,
+    n_fft: int = 512,
+    hop: int = 256,
+    win_length: int | None = None,
+    window: jax.Array | None = None,
+    center: bool = True,
+    matmul: bool = False,
+) -> jax.Array:
+    """STFT of [..., T] -> complex [..., n_bins, n_frames] (torch layout).
+
+    With ``center=True`` the signal is reflect-padded by ``n_fft//2`` on both
+    sides, so n_frames = 1 + T//hop (torch.stft default behavior).
+    """
+    win_length = win_length or n_fft
+    if window is None:
+        window = sqrt_hann_window(win_length)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+
+    squeeze = y.ndim == 1
+    if squeeze:
+        y = y[None, :]
+
+    if center:
+        pad = n_fft // 2
+        y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+
+    frames = frame_signal(y, n_fft, hop, pad_tail=False)  # [B, n, n_fft]
+    frames = frames * window[None, None, :]
+
+    if matmul:
+        cos_m, msin_m = _dft_matrices(n_fft)
+        real = jnp.einsum("bnt,tk->bnk", frames, jnp.asarray(cos_m))
+        imag = jnp.einsum("bnt,tk->bnk", frames, jnp.asarray(msin_m))
+        spec = real + 1j * imag
+    else:
+        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+
+    spec = jnp.transpose(spec, (0, 2, 1))  # [B, n_bins, n_frames]
+    return spec[0] if squeeze else spec
+
+
+def istft(
+    spec: jax.Array,
+    n_fft: int = 512,
+    hop: int = 256,
+    win_length: int | None = None,
+    window: jax.Array | None = None,
+    center: bool = True,
+    length: int | None = None,
+) -> jax.Array:
+    """Inverse STFT of complex [..., n_bins, n_frames] -> [..., T].
+
+    Standard weighted overlap-add with window-square normalization, matching
+    ``torch.istft`` (``gtcrn_wrap.py:85-93``).
+    """
+    win_length = win_length or n_fft
+    if window is None:
+        window = sqrt_hann_window(win_length)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+
+    squeeze = spec.ndim == 2
+    if squeeze:
+        spec = spec[None]
+
+    frames = jnp.fft.irfft(jnp.transpose(spec, (0, 2, 1)), n=n_fft, axis=-1)
+    frames = frames * window[None, None, :]
+
+    y = overlap_add(frames, hop)  # [B, T_pad]
+    wsq = overlap_add(
+        jnp.broadcast_to((window * window)[None, None, :], frames.shape), hop
+    )
+    y = y / jnp.maximum(wsq, 1e-11)
+
+    if center:
+        pad = n_fft // 2
+        y = y[:, pad:]
+        if length is not None:
+            y = y[:, :length]
+        else:
+            y = y[:, : y.shape[1] - pad]
+    elif length is not None:
+        y = y[:, :length]
+    return y[0] if squeeze else y
+
+
+def spec_as_real(spec: jax.Array) -> jax.Array:
+    """complex [..., F, T] -> real [..., F, T, 2] (torch.view_as_real layout,
+    the GTCRN input contract at ``gtcrn.py:292-296``)."""
+    return jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+
+
+def real_as_spec(x: jax.Array) -> jax.Array:
+    """real [..., F, T, 2] -> complex [..., F, T]."""
+    return x[..., 0] + 1j * x[..., 1]

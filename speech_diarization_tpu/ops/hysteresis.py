@@ -1,0 +1,35 @@
+"""Hysteresis (Schmitt-trigger) binarization of VAD probabilities.
+
+The reference runs this as a numba ``nopython`` loop on host (``vad.py:59-74``):
+state machine that turns on at ``p >= on`` and off at ``p < off``.
+
+TPU-native formulation: the state update is
+
+    talking[t] = p[t] >= on  OR  (talking[t-1] AND p[t] >= off)
+
+Define a[t] = (p[t] >= on), c[t] = (p[t] >= off).  Then
+talking[t] = a[t] | (c[t] & talking[t-1]), which is an associative
+boolean affine recurrence — so it runs in O(log T) depth via
+``jax.lax.associative_scan`` instead of a 360k-step sequential scan.
+Composition law for pairs (a, c):  (a2 | (c2 & a1), c2 & c1).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def hysteresis_binarize(
+    probs: jax.Array, on: float = 0.6, off: float = 0.4
+) -> jax.Array:
+    """[T] probabilities -> [T] bool speech mask (initial state: not talking)."""
+    a = probs >= on
+    c = probs >= off
+
+    def combine(x, y):
+        ax, cx = x
+        ay, cy = y
+        return ay | (cy & ax), cy & cx
+
+    out_a, _ = jax.lax.associative_scan(combine, (a, c))
+    return out_a
