@@ -1,0 +1,49 @@
+"""Checkpoint porting: torch / ONNX state dicts -> JAX parameter pytrees.
+
+The reference's model zoo loads torch checkpoints (GTCRN DNS3 tar,
+``gtcrn_wrap.py:10-15``), SpeechBrain hparams bundles (``speech_encode.py:64-70``)
+and ONNX graphs (``speech_encode.py:42-50``).  Our parameter dicts use torch
+``state_dict`` keys directly (see ``models/gtcrn.py``), so porting is a pure
+array relabel plus dtype normalization — numerics are then verified by golden
+activation tests (``tests/test_gtcrn_parity.py``; SURVEY.md §7.4 item 1).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def port_torch_state_dict(state_dict: Mapping[str, Any]) -> dict[str, jnp.ndarray]:
+    """Convert a torch ``state_dict`` (tensors or ndarrays) to a flat JAX
+    param dict, dropping bookkeeping buffers (``num_batches_tracked``)."""
+    out: dict[str, jnp.ndarray] = {}
+    for k, v in state_dict.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        if hasattr(v, "detach"):  # torch tensor without importing torch here
+            v = v.detach().cpu().numpy()
+        out[k] = jnp.asarray(np.asarray(v, dtype=np.float32))
+    return out
+
+
+def load_gtcrn_checkpoint(path: str | Path) -> dict[str, jnp.ndarray]:
+    """Load the GTCRN DNS3 checkpoint (torch tar with a ``model`` entry,
+    ``gtcrn_wrap.py:13-15``) into our parameter dict."""
+    import torch
+
+    ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    return port_torch_state_dict(sd)
+
+
+def save_params_npz(params: Mapping[str, jnp.ndarray], path: str | Path) -> None:
+    """Framework-native checkpoint format: flat npz (no torch dependency)."""
+    np.savez(str(path), **{k: np.asarray(v) for k, v in params.items()})
+
+
+def load_params_npz(path: str | Path) -> dict[str, jnp.ndarray]:
+    with np.load(str(path)) as data:
+        return {k: jnp.asarray(data[k]) for k in data.files}

@@ -1,0 +1,128 @@
+"""Neural VAD (Silero-class) + deterministic energy VAD fallback.
+
+Replaces the Silero VAD wrapper (``vad.py:19-55``): the reference downloads an
+opaque TorchScript net from torch.hub and runs it frame-by-frame in 1024-frame
+batches with host↔device copies per batch (``vad.py:44-48``).
+
+TPU-first redesign: one jitted call scores the ENTIRE file. Features are the
+shared log-mel frontend at the VAD's 10 ms hop; a small causal conv + GRU stack
+produces per-frame speech probabilities — sequence context like Silero's
+streaming state, but evaluated in parallel over the whole grid (input
+projections are hoisted matmuls; only the [B,H] recurrence scans).
+
+The energy VAD (:func:`energy_vad_probs`) is a deterministic, training-free
+fallback used by tests/benches and as a bootstrap before ported/trained
+weights are loaded.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dsp.mel import log_mel_spectrogram
+from .layers import GRUParams, conv1d_torch, gru_init, gru_sequence
+
+Params = dict[str, Any]
+
+
+class VadNet:
+    """Functional VAD net: log-mel [B,T,M] -> speech prob [B,T]."""
+
+    def __init__(self, n_mels: int = 40, channels: int = 96, hidden: int = 96):
+        self.n_mels = n_mels
+        self.channels = channels
+        self.hidden = hidden
+
+    def init(self, key: jax.Array) -> Params:
+        k = jax.random.split(key, 6)
+        c, h, m = self.channels, self.hidden, self.n_mels
+        he = jax.nn.initializers.he_normal()
+        return {
+            "conv1_w": he(k[0], (c, m, 5)),
+            "conv1_b": jnp.zeros((c,)),
+            "conv2_w": he(k[1], (c, c, 3)),
+            "conv2_b": jnp.zeros((c,)),
+            "gru": gru_init(k[2], c, h),
+            "out_w": he(k[3], (h, 1))[:, 0],
+            "out_b": jnp.zeros(()),
+        }
+
+    def apply(self, params: Params, feats: jax.Array) -> jax.Array:
+        """feats [B, T, M] -> probs [B, T]."""
+        x = jnp.transpose(feats, (0, 2, 1))  # [B, M, T]
+        # causal convs: left-pad only, so the prob at frame t sees only t' <= t
+        x = jnp.pad(x, ((0, 0), (0, 0), (4, 0)))
+        x = jax.nn.silu(conv1d_torch(x, params["conv1_w"], params["conv1_b"]))
+        x = jnp.pad(x, ((0, 0), (0, 0), (4, 0)))
+        x = jax.nn.silu(
+            conv1d_torch(x, params["conv2_w"], params["conv2_b"], dilation=2)
+        )
+        x = jnp.transpose(x, (0, 2, 1))  # [B, T, C]
+        y, _ = gru_sequence(x, params["gru"])
+        logits = y @ params["out_w"] + params["out_b"]
+        return jax.nn.sigmoid(logits)
+
+
+class VadModel:
+    """Waveform-level wrapper: [B, T_samples] -> per-10ms-hop probabilities.
+
+    API analog of ``SileroVAD.probs`` (``vad.py:31-50``) but whole-file,
+    single launch, no host round trips.
+    """
+
+    def __init__(self, net: VadNet | None = None, sample_rate: int = 16000,
+                 hop_ms: float = 10.0, win_ms: float = 25.0):
+        self.net = net or VadNet()
+        self.sample_rate = sample_rate
+        self.hop_ms = hop_ms
+        self.win_ms = win_ms
+
+    def init(self, key: jax.Array) -> Params:
+        return self.net.init(key)
+
+    def probs(self, params: Params, y: jax.Array) -> jax.Array:
+        """[T] or [B, T] waveform -> [.., n_frames] probs at ``hop_ms``."""
+        squeeze = y.ndim == 1
+        if squeeze:
+            y = y[None]
+        feats = log_mel_spectrogram(
+            y,
+            sample_rate=self.sample_rate,
+            n_mels=self.net.n_mels,
+            win_ms=self.win_ms,
+            hop_ms=self.hop_ms,
+        )
+        feats = feats - jnp.mean(feats, axis=1, keepdims=True)
+        p = self.net.apply(params, feats)
+        return p[0] if squeeze else p
+
+
+def energy_vad_probs(
+    y: jax.Array,
+    sample_rate: int = 16000,
+    win_ms: float = 25.0,
+    hop_ms: float = 10.0,
+    floor_db: float = -60.0,
+    dynamic_range_db: float = 30.0,
+) -> jax.Array:
+    """Deterministic log-energy VAD: [T] -> [n_frames] pseudo-probabilities.
+
+    Frame log-RMS is mapped through a soft sigmoid between an adaptive noise
+    floor (20th percentile) and floor+dynamic_range.  No learned weights; used
+    as the bootstrap backend and in integration tests where ground truth is
+    synthetic silence/tone alternation.
+    """
+    from ..dsp.framing import frame_signal
+
+    win = int(sample_rate * win_ms / 1000.0)
+    hop = int(sample_rate * hop_ms / 1000.0)
+    frames = frame_signal(y, win, hop)
+    rms_db = 10.0 * jnp.log10(jnp.mean(frames * frames, axis=-1) + 1e-10)
+    rms_db = jnp.maximum(rms_db, floor_db)
+    noise_floor = jnp.percentile(rms_db, 20.0)
+    lo = jnp.maximum(noise_floor + 6.0, floor_db + 3.0)
+    z = (rms_db - lo) / (dynamic_range_db / 6.0)
+    return jax.nn.sigmoid(z)
