@@ -95,7 +95,10 @@ class VadModel:
             win_ms=self.win_ms,
             hop_ms=self.hop_ms,
         )
-        feats = feats - jnp.mean(feats, axis=1, keepdims=True)
+        # NB: no per-utterance mean-norm here — that global statistic would
+        # break causality/streaming; inputs are loudness-normalized upstream,
+        # so a fixed affine rescale suffices.
+        feats = (feats + 6.0) * 0.25
         p = self.net.apply(params, feats)
         return p[0] if squeeze else p
 
@@ -123,6 +126,6 @@ def energy_vad_probs(
     rms_db = 10.0 * jnp.log10(jnp.mean(frames * frames, axis=-1) + 1e-10)
     rms_db = jnp.maximum(rms_db, floor_db)
     noise_floor = jnp.percentile(rms_db, 20.0)
-    lo = jnp.maximum(noise_floor + 6.0, floor_db + 3.0)
-    z = (rms_db - lo) / (dynamic_range_db / 6.0)
+    lo = jnp.maximum(noise_floor + 9.0, floor_db + 3.0)
+    z = (rms_db - lo) / (dynamic_range_db / 10.0)
     return jax.nn.sigmoid(z)
