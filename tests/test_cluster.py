@@ -1,0 +1,159 @@
+"""Clustering layer tests on synthetic Gaussian speaker blobs."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from speech_diarization_tpu import cluster
+
+
+def make_blobs(k=3, n_per=30, d=32, sep=4.0, seed=0):
+    g = np.random.default_rng(seed)
+    centers = g.standard_normal((k, d)) * sep
+    x = np.concatenate([centers[i] + g.standard_normal((n_per, d)) for i in range(k)])
+    y = np.repeat(np.arange(k), n_per)
+    return x.astype(np.float32), y
+
+
+def cluster_accuracy(pred, true):
+    """Best-permutation agreement via greedy matching (k small)."""
+    from scipy.optimize import linear_sum_assignment
+
+    k1, k2 = pred.max() + 1, true.max() + 1
+    conf = np.zeros((k1, k2))
+    for p, t in zip(pred, true):
+        if p >= 0:
+            conf[p, t] += 1
+    r, c = linear_sum_assignment(-conf)
+    return conf[r, c].sum() / len(true)
+
+
+class TestAffinity:
+    def test_cosine_affinity_matches_sklearn(self):
+        from sklearn.metrics.pairwise import cosine_similarity
+
+        x, _ = make_blobs()
+        ref = cosine_similarity(x)
+        out = np.asarray(cluster.cosine_affinity(jnp.asarray(x)))
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    def test_whiten_decorrelates(self):
+        g = np.random.default_rng(0)
+        base = g.standard_normal((500, 8))
+        mix = g.standard_normal((8, 8)) + np.eye(8) * 2
+        x = (base @ mix).astype(np.float32)
+        w = np.asarray(cluster.whiten(jnp.asarray(x)))
+        norms = np.linalg.norm(w, axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+        # before normalization the whitened covariance is ~identity; after L2
+        # norm rows are unit — correlation structure should still be far
+        # weaker than the raw mix
+        c_raw = np.corrcoef(x.T)
+        c_w = np.corrcoef(w.T)
+        off_raw = np.abs(c_raw - np.eye(8)).mean()
+        off_w = np.abs(c_w - np.eye(8)).mean()
+        assert off_w < off_raw * 0.5
+
+    def test_asnorm_calibrates(self):
+        """AS-Norm should make scores comparable across queries with
+        different cohort similarity levels."""
+        x, y = make_blobs(k=2, n_per=40, sep=5.0)
+        centers = np.stack([x[y == i].mean(0) for i in range(2)])
+        scores = np.asarray(cluster.asnorm_scores(
+            jnp.asarray(x), jnp.asarray(centers), jnp.asarray(x), topk=20))
+        assert scores.shape == (80, 2)
+        # own-center score should exceed other-center score for most points
+        correct = (np.argmax(scores, axis=1) == y).mean()
+        assert correct > 0.95
+
+
+class TestKmeans:
+    def test_recovers_blobs(self):
+        x, y = make_blobs(k=4, n_per=25, sep=5.0)
+        labels, centers = cluster.kmeans(jnp.asarray(x), 4, k_max=8)
+        labels = np.asarray(labels)
+        assert cluster_accuracy(labels, y) > 0.97
+        assert set(np.unique(labels)) <= set(range(4))
+
+    def test_masked_k_below_kmax(self):
+        x, y = make_blobs(k=2, n_per=30, sep=6.0)
+        labels, _ = cluster.kmeans(jnp.asarray(x), 2, k_max=8)
+        assert np.asarray(labels).max() <= 1
+
+    def test_sample_weights_ignore_padding(self):
+        x, y = make_blobs(k=2, n_per=30, sep=6.0)
+        pad = np.zeros((10, x.shape[1]), np.float32)  # off-blob garbage at 0
+        xp = np.concatenate([x, pad])
+        w = np.concatenate([np.ones(60), np.zeros(10)]).astype(np.float32)
+        labels, _ = cluster.kmeans(jnp.asarray(xp), 2, k_max=4,
+                                   sample_weight=jnp.asarray(w))
+        assert cluster_accuracy(np.asarray(labels)[:60], y) > 0.97
+
+
+class TestSpectral:
+    @pytest.mark.parametrize("k", [2, 3, 5])
+    def test_finds_speaker_count_and_labels(self, k):
+        x, y = make_blobs(k=k, n_per=30, sep=5.0, seed=k)
+        labels = cluster.spectral_cluster(x, min_speakers=1, max_speakers=8)
+        assert labels.max() + 1 == k
+        assert cluster_accuracy(labels, y) > 0.97
+
+    def test_single_cluster(self):
+        g = np.random.default_rng(0)
+        x = g.standard_normal((40, 16)).astype(np.float32) * 0.05 + 1.0
+        labels = cluster.spectral_cluster(x, min_speakers=1, max_speakers=8)
+        assert labels.max() == 0
+
+    def test_respects_min_speakers(self):
+        x, _ = make_blobs(k=2, n_per=30, sep=5.0)
+        labels = cluster.spectral_cluster(x, min_speakers=2, max_speakers=6)
+        assert labels.max() + 1 >= 2
+
+    def test_tiny_inputs(self):
+        assert cluster.spectral_cluster(np.zeros((0, 4), np.float32)).shape == (0,)
+        assert (cluster.spectral_cluster(np.ones((1, 4), np.float32)) == 0).all()
+
+
+class TestAhc:
+    def test_threshold_clustering(self):
+        x, y = make_blobs(k=3, n_per=20, sep=6.0)
+        labels = cluster.ahc_cluster(x, cos_threshold=0.7)
+        assert cluster_accuracy(labels, y) > 0.95
+
+    def test_max_speaker_clamp(self):
+        x, y = make_blobs(k=5, n_per=15, sep=6.0)
+        labels = cluster.ahc_cluster(x, cos_threshold=0.99, max_speakers=3)
+        assert labels.max() + 1 == 3
+
+
+class TestHdbscan:
+    def test_single_stage(self):
+        x, y = make_blobs(k=3, n_per=25, sep=6.0)
+        labels = cluster.hdbscan_cluster(x, min_cluster_size=5)
+        mask = labels >= 0
+        assert mask.mean() > 0.8
+        assert cluster_accuracy(labels[mask], y[mask]) > 0.95
+
+    def test_two_stage_merges_microclusters(self):
+        """Each speaker emits two tight sub-blobs (over-clustered by stage 1);
+        stage 2 must merge the sub-blob centroids back per speaker."""
+        g = np.random.default_rng(5)
+        speaker_centers = g.standard_normal((3, 32)) * 10.0
+        xs, ys = [], []
+        for spk in range(3):
+            for sub in range(2):
+                c = speaker_centers[spk] + g.standard_normal(32) * 0.8
+                xs.append(c + 0.2 * g.standard_normal((15, 32)))
+                ys.append(np.full(15, spk))
+        x = np.concatenate(xs).astype(np.float32)
+        y = np.concatenate(ys)
+        labels = cluster.hdbscan_two_stage(x, min_cluster_size=2)
+        mask = labels >= 0
+        assert mask.mean() > 0.7
+        assert cluster_accuracy(labels[mask], y[mask]) > 0.9
+
+    def test_dispatcher(self):
+        x, y = make_blobs(k=2, n_per=20, sep=6.0)
+        for method in ["spectral", "ahc", "hdbscan", "hdbscan2"]:
+            labels = cluster.cluster_embeddings(x, method=method)
+            assert labels.shape == (40,)
