@@ -1,0 +1,175 @@
+"""Embedding extraction over dense window grids (the TPU-first core idea).
+
+The reference launches a separate CUDA batch per processing stage: SCD windows
+(``anti_stick_diarize.py:95-100``), per-segment snippets padded to batch max
+(``anti_stick_diarize.py:150-169``), and 1 s reassignment windows
+(``anti_stick_diarize.py:420-427``) — thousands of host↔device round trips per
+file.  Here the waveform is decomposed ONCE into a dense ``[n_windows, win]``
+grid; the embedder runs over fixed-size chunks of that grid (one compiled
+shape), and every downstream consumer — SCD distances, segment embeddings
+(masked-mean matmul), reassignment argmax — reads from the same ``[W, D]``
+embedding matrix (SURVEY.md §7.1 items 1-2).
+
+``embed_segments_bucketed`` preserves the reference-style per-segment snippet
+embedding (context padding for short segments, ``anti_stick_diarize.py:155-161``;
+tile-extension, ``diar_diag.py:344-348``) with power-of-two length bucketing so
+jit recompiles stay bounded.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..dsp.framing import frame_signal, num_frames
+from ..types import SegmentArray
+
+# encode_fn: [B, win_samples] device array -> [B, D] embeddings
+EncodeFn = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+def window_starts(n_samples: int, sr: int, win_s: float, hop_s: float) -> np.ndarray:
+    """Start sample index of each grid window (host ints)."""
+    win = int(round(win_s * sr))
+    hop = int(round(hop_s * sr))
+    n = num_frames(n_samples, win, hop, pad_tail=True)
+    return np.arange(n) * hop
+
+
+def embed_windows(
+    encode_fn: EncodeFn,
+    y: jnp.ndarray,
+    sr: int,
+    win_s: float,
+    hop_s: float,
+    batch: int = 256,
+) -> np.ndarray:
+    """Embed every window of the dense grid: [T] -> [n_windows, D].
+
+    Windows are framed on device and pushed through ``encode_fn`` in
+    fixed-size batches (final batch zero-padded) so a single compiled
+    program serves any file length.
+    """
+    win = int(round(win_s * sr))
+    hop = int(round(hop_s * sr))
+    frames = frame_signal(y, win, hop, pad_tail=True)  # [W, win]
+    w = frames.shape[0]
+    outs = []
+    for i in range(0, w, batch):
+        chunk = frames[i : i + batch]
+        if chunk.shape[0] < batch:
+            chunk = jnp.pad(chunk, ((0, batch - chunk.shape[0]), (0, 0)))
+        outs.append(np.asarray(encode_fn(chunk)))
+    if not outs:
+        return np.zeros((0, 1), dtype=np.float32)
+    embs = np.concatenate(outs, axis=0)[:w]
+    return embs
+
+
+def segment_overlap_weights(
+    segs: SegmentArray,
+    win_starts_s: np.ndarray,
+    win_s: float,
+) -> np.ndarray:
+    """[S, W] overlap (seconds) of each grid window with each segment."""
+    ws = win_starts_s[None, :]  # [1, W]
+    we = ws + win_s
+    ss = segs.starts[:, None]  # [S, 1]
+    se = segs.ends[:, None]
+    overlap = np.minimum(we, se) - np.maximum(ws, ss)
+    return np.clip(overlap, 0.0, None)
+
+
+def segment_embeddings_from_grid(
+    win_embs: np.ndarray,  # [W, D]
+    win_starts_s: np.ndarray,  # [W]
+    win_s: float,
+    segs: SegmentArray,
+    min_overlap_s: float = 0.25,
+) -> np.ndarray:
+    """Segment embeddings as overlap-weighted means of grid-window embeddings
+    (one [S,W]@[W,D] matmul).  Segments too short to fully cover a window fall
+    back to the single best-overlapping window — the analog of the reference's
+    context padding for short segments (``anti_stick_diarize.py:155-161``)."""
+    n = len(segs)
+    if n == 0 or win_embs.shape[0] == 0:
+        return np.zeros((n, win_embs.shape[1] if win_embs.size else 1), np.float32)
+    w = segment_overlap_weights(segs, win_starts_s, win_s)  # [S, W]
+    # windows mostly inside the segment dominate; tiny slivers are dropped
+    w = np.where(w >= min_overlap_s, w, 0.0)
+    empty = w.sum(axis=1) < 1e-9
+    if empty.any():
+        full = segment_overlap_weights(segs, win_starts_s, win_s)
+        best = np.argmax(full, axis=1)
+        w[empty, best[empty]] = 1.0
+    w = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-9)
+    return (w @ win_embs).astype(np.float32)
+
+
+def _bucket_len(n: int, min_len: int) -> int:
+    b = min_len
+    while b < n:
+        b *= 2
+    return b
+
+
+def embed_segments_bucketed(
+    encode_fn: EncodeFn,
+    y: np.ndarray,
+    sr: int,
+    segs: SegmentArray,
+    min_duration_ms: float = 500.0,
+    pad_duration_ms: float = 150.0,
+    batch: int = 32,
+    min_bucket_s: float = 0.5,
+    max_bucket_s: float = 16.0,
+) -> np.ndarray:
+    """Reference-style per-segment embeddings with static-shape bucketing.
+
+    Each snippet (context-padded when short) is zero-padded to a power-of-two
+    length bucket; snippets are grouped by bucket so each (bucket, batch)
+    shape compiles once.  Mirrors ``embed_segments``
+    (``anti_stick_diarize.py:130-172``).
+    """
+    n = len(segs)
+    if n == 0:
+        return np.zeros((0, 1), dtype=np.float32)
+    y = np.asarray(y)
+    min_dur = int(min_duration_ms / 1000.0 * sr)
+    pad = int(pad_duration_ms / 1000.0 * sr)
+    min_bucket = int(min_bucket_s * sr)
+    max_bucket = int(max_bucket_s * sr)
+
+    snippets: list[np.ndarray] = []
+    for s, e in zip(segs.starts, segs.ends):
+        i0, i1 = int(s * sr), int(e * sr)
+        if i1 - i0 < min_dur:
+            i0, i1 = max(0, i0 - pad), min(len(y), i1 + pad)
+        snip = y[i0:i1]
+        if len(snip) > max_bucket:  # clamp absurdly long segments
+            snip = snip[:max_bucket]
+        snippets.append(snip)
+
+    buckets: dict[int, list[int]] = {}
+    for i, snip in enumerate(snippets):
+        b = min(_bucket_len(max(len(snip), 1), min_bucket), max_bucket)
+        buckets.setdefault(b, []).append(i)
+
+    dim: int | None = None
+    embs: np.ndarray | None = None
+    for blen, idxs in sorted(buckets.items()):
+        for j in range(0, len(idxs), batch):
+            group = idxs[j : j + batch]
+            mat = np.zeros((batch, blen), dtype=np.float32)
+            for row, i in enumerate(group):
+                s = snippets[i]
+                mat[row, : len(s)] = s
+            out = np.asarray(encode_fn(jnp.asarray(mat)))
+            if embs is None:
+                dim = out.shape[1]
+                embs = np.zeros((n, dim), dtype=np.float32)
+            embs[group] = out[: len(group)]
+    assert embs is not None
+    return embs
