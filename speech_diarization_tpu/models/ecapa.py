@@ -41,9 +41,17 @@ def _conv_bn_init(key, c_in, c_out, k) -> Params:
 
 
 def _conv_bn_apply(p: Params, x: jax.Array, dilation: int = 1, padding: int = 0,
-                   groups: int = 1, act: bool = True) -> jax.Array:
+                   groups: int = 1, act: bool = True, train: bool = False) -> jax.Array:
     x = conv1d_torch(x, p["w"], p["b"], padding=padding, dilation=dilation, groups=groups)
-    x = batch_norm_apply(x, p["bn_mean"], p["bn_var"], p["bn_gamma"], p["bn_beta"])
+    if train:
+        # batch statistics over (batch, time); under a dp-sharded jit XLA
+        # turns these reductions into cross-chip collectives automatically
+        axes = (0,) + tuple(range(2, x.ndim))
+        mean = jnp.mean(x.astype(jnp.float32), axis=axes)
+        var = jnp.var(x.astype(jnp.float32), axis=axes)
+        x = batch_norm_apply(x, mean, var, p["bn_gamma"], p["bn_beta"])
+    else:
+        x = batch_norm_apply(x, p["bn_mean"], p["bn_var"], p["bn_gamma"], p["bn_beta"])
     return jax.nn.relu(x) if act else x
 
 
@@ -109,10 +117,11 @@ class EcapaTdnn:
         return params
 
     # ------------------------------------------------------------ apply ------
-    def _se_res2block(self, p: Params, x: jax.Array, dilation: int) -> jax.Array:
+    def _se_res2block(self, p: Params, x: jax.Array, dilation: int,
+                      train: bool = False) -> jax.Array:
         c, s = self.channels, self.scale
         residual = x
-        y = _conv_bn_apply(p["conv1"], x, padding=0)
+        y = _conv_bn_apply(p["conv1"], x, padding=0, train=train)
         # Res2Net hierarchical multi-scale convs over channel groups
         groups = jnp.split(y, s, axis=1)
         outs = [groups[0]]
@@ -120,27 +129,28 @@ class EcapaTdnn:
         for i in range(1, s):
             inp = groups[i] if prev is None else groups[i] + prev
             prev = _conv_bn_apply(
-                p["res2"][i - 1], inp, dilation=dilation, padding=dilation
+                p["res2"][i - 1], inp, dilation=dilation, padding=dilation,
+                train=train,
             )
             outs.append(prev)
         y = jnp.concatenate(outs, axis=1)
-        y = _conv_bn_apply(p["conv2"], y, padding=0)
+        y = _conv_bn_apply(p["conv2"], y, padding=0, train=train)
         # squeeze-excitation
         zm = jnp.mean(y, axis=2, keepdims=True)  # [B, C, 1]
         z = jax.nn.relu(conv1d_torch(zm, p["se_w1"], p["se_b1"]))
         z = jax.nn.sigmoid(conv1d_torch(z, p["se_w2"], p["se_b2"]))
         return residual + y * z
 
-    def apply(self, params: Params, feats: jax.Array) -> jax.Array:
+    def apply(self, params: Params, feats: jax.Array, train: bool = False) -> jax.Array:
         """feats [B, T, n_mels] -> [B, emb_dim] (f32)."""
         x = jnp.transpose(feats, (0, 2, 1)).astype(self.dtype)  # [B, M, T]
-        x = _conv_bn_apply(params["stem"], x, padding=2)
+        x = _conv_bn_apply(params["stem"], x, padding=2, train=train)
         block_outs = []
         for i, d in enumerate(self.dilations):
-            x = self._se_res2block(params[f"block{i}"], x, d)
+            x = self._se_res2block(params[f"block{i}"], x, d, train=train)
             block_outs.append(x)
         x = jnp.concatenate(block_outs, axis=1)  # [B, 3C, T]
-        x = _conv_bn_apply(params["mfa"], x)
+        x = _conv_bn_apply(params["mfa"], x, train=train)
 
         # attentive statistical pooling with global context
         x32 = x.astype(jnp.float32)
@@ -160,7 +170,13 @@ class EcapaTdnn:
         stats = jnp.concatenate([mu, sd], axis=1)  # [B, 2CC]
 
         pb = params["post_bn"]
-        stats = batch_norm_apply(stats, pb["mean"], pb["var"], pb["gamma"], pb["beta"])
+        if train:
+            stats = batch_norm_apply(
+                stats, jnp.mean(stats, axis=0), jnp.var(stats, axis=0),
+                pb["gamma"], pb["beta"],
+            )
+        else:
+            stats = batch_norm_apply(stats, pb["mean"], pb["var"], pb["gamma"], pb["beta"])
         emb = conv1d_torch(stats[:, :, None], params["fc_w"], params["fc_b"])[:, :, 0]
         return emb.astype(jnp.float32)
 

@@ -1,0 +1,69 @@
+"""Fixed-shape chunked execution over arbitrarily long audio.
+
+XLA compiles one program per input shape, so per-file shapes would recompile
+constantly.  All framewise model passes (VAD probs, features) therefore run on
+fixed-length chunks with a small overlap: every file, of any length, reuses the
+same compiled executable.  In the overlap region the EARLIER chunk wins (it has
+full left context for those frames), which makes the stitch exactly contiguous
+for causal framewise models.
+
+This is the TPU-native generalization of the reference's ad-hoc chunked
+streaming (``gtcrn_wrap.py:101-153``, ``vad.py:44-48`` — SURVEY.md §5
+'Long-context / sequence scaling').
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def chunked_framewise(
+    fn: Callable[[jnp.ndarray], jnp.ndarray],
+    y: np.ndarray | jnp.ndarray,
+    sr: int,
+    frame_hop: int,
+    chunk_s: float = 30.0,
+    overlap_s: float = 1.0,
+    frames_per_chunk_extra: int = 1,
+) -> np.ndarray:
+    """Apply a framewise model ``fn: [T_chunk] -> [F_chunk]`` over a long
+    waveform with constant chunk shape.
+
+    ``fn`` must produce ``chunk_samples // frame_hop + frames_per_chunk_extra``
+    frames at hop ``frame_hop`` (the center=True STFT convention).  Returns the
+    stitched [n_frames_total] array with
+    ``n_frames_total = len(y) // frame_hop + frames_per_chunk_extra``.
+    """
+    t = int(np.asarray(y).shape[-1])
+    chunk = int(round(chunk_s * sr))
+    hop_samples = chunk - int(round(overlap_s * sr))
+    assert hop_samples % frame_hop == 0, "chunk hop must align to frame hop"
+
+    n_frames_total = t // frame_hop + frames_per_chunk_extra
+    frames_per_chunk = chunk // frame_hop + frames_per_chunk_extra
+    chunk_hop_frames = hop_samples // frame_hop
+
+    yj = jnp.asarray(y)
+    if t <= chunk:
+        padded = jnp.pad(yj, (0, chunk - t))
+        out = np.asarray(fn(padded))
+        return out[:n_frames_total]
+
+    n_chunks = int(np.ceil((t - chunk) / hop_samples)) + 1
+    total_needed = (n_chunks - 1) * hop_samples + chunk
+    if total_needed > t:
+        yj = jnp.pad(yj, (0, total_needed - t))
+
+    out = np.zeros(n_frames_total, dtype=np.float32)
+    overlap_frames = frames_per_chunk - chunk_hop_frames
+    for k in range(n_chunks):
+        seg = jnp.asarray(yj[k * hop_samples : k * hop_samples + chunk])
+        probs = np.asarray(fn(seg))
+        lo = 0 if k == 0 else overlap_frames
+        g0 = k * chunk_hop_frames + lo
+        g1 = min(g0 + (frames_per_chunk - lo), n_frames_total)
+        out[g0:g1] = probs[lo : lo + (g1 - g0)]
+    return out

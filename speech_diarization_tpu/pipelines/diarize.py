@@ -1,0 +1,257 @@
+"""The flagship anti-stick diarization pipeline, TPU-first.
+
+Stage mirror of ``anti_stick_diarize.diarize`` (``anti_stick_diarize.py:493-560``):
+read → loudness-norm/DC/pre-emphasis → VAD → SCD split → segment embeddings →
+clustering → conservative merge → frame reassignment → adjacency merge.
+
+TPU-first restructuring (SURVEY.md §7.1):
+  * preprocessing + VAD probabilities + the dense window-embedding grid are
+    jitted device passes over fixed-shape chunks — one compiled program per
+    stage for any file length, no per-segment CUDA launches;
+  * SCD, segment embeddings and reassignment all consume the SAME [W, D]
+    window-embedding grid (computed once), instead of the reference's three
+    separate embedding loops (its hottest path, SURVEY.md §3.1);
+  * clustering defaults to on-device spectral (+ eigengap); HDBSCAN/AHC remain
+    as host escape hatches;
+  * the conservative merge takes real embeddings (fixing the reference's
+    label-array bug, SURVEY.md §2.5 item 1) and its outputs are reused, not
+    re-encoded.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import cluster as cluster_mod
+from ..config import DiarizationConfig
+from ..dsp.loudness import loudness_normalize
+from ..dsp.preprocess import preprocess_waveform
+from ..io.audio import read_audio
+from ..models.ecapa import EcapaModel
+from ..models.vad import VadModel, energy_vad_probs
+from ..segment import (
+    conservative_merge,
+    embed_segments_bucketed,
+    embed_windows,
+    frame_reassign,
+    merge_adjacent,
+    scd_split,
+    segment_embeddings_from_grid,
+    vad_segments_from_probs,
+    window_starts,
+)
+from ..types import Segment, SegmentArray
+from ..utils.logging import get_logger, stage_timer
+from .chunking import chunked_framewise
+
+log = get_logger("diarize")
+
+
+@dataclass
+class DiarizationResult:
+    segments: SegmentArray
+    vad_segments: SegmentArray
+    num_speakers: int
+    diagnostics: dict[str, Any] = field(default_factory=dict)
+
+    def to_segments(self) -> list[Segment]:
+        return self.segments.to_segments()
+
+
+class DiarizationPipeline:
+    """Configurable wav→segments pipeline.
+
+    Args:
+        cfg: unified config (defaults = reference defaults where they exist).
+        encode_fn: ``[B, T] -> [B, D]`` embedding function (jitted inside).
+            Defaults to a seed-0 ECAPA-TDNN (weights portable via models/port).
+        vad_probs_fn: ``[T_chunk] -> [F]`` frame-probability function.
+            Defaults to the deterministic energy VAD; pass a neural
+            ``VadModel`` closure for the Silero-class backend.
+    """
+
+    def __init__(
+        self,
+        cfg: DiarizationConfig | None = None,
+        encode_fn: Callable | None = None,
+        vad_probs_fn: Callable | None = None,
+        enhance_fn: Callable | None = None,
+    ):
+        self.cfg = cfg or DiarizationConfig()
+        sr = self.cfg.audio.sample_rate
+
+        if encode_fn is None:
+            model = EcapaModel()
+            params = model.init(jax.random.PRNGKey(0))
+            encode_fn = jax.jit(partial(model.encode_batch, params))
+        self.encode_fn = encode_fn
+
+        if vad_probs_fn is None:
+            vad_probs_fn = jax.jit(
+                partial(
+                    energy_vad_probs,
+                    sample_rate=sr,
+                    win_ms=self.cfg.vad.win_ms,
+                    hop_ms=self.cfg.vad.hop_ms,
+                )
+            )
+        self.vad_probs_fn = vad_probs_fn
+        self.enhance_fn = enhance_fn
+
+    # ------------------------------------------------------------------ io --
+    def load(self, source) -> tuple[jnp.ndarray, int]:
+        cfg = self.cfg.audio
+        y, sr = read_audio(source, target_sr=cfg.sample_rate, mono=True)
+        yd = jnp.asarray(y)
+        if self.enhance_fn is not None:
+            yd = self.enhance_fn(yd)
+        if cfg.target_lufs is not None:
+            yd = loudness_normalize(yd, sr, cfg.target_lufs)
+        yd = preprocess_waveform(
+            yd, dc=cfg.remove_dc, preemph=cfg.preemphasis, clip=0.99
+        )
+        return yd, sr
+
+    # ----------------------------------------------------------------- vad --
+    def vad_probs(self, y: jnp.ndarray, sr: int) -> np.ndarray:
+        hop = int(round(self.cfg.vad.hop_ms / 1000.0 * sr))
+        return chunked_framewise(self.vad_probs_fn, y, sr, frame_hop=hop)
+
+    # ---------------------------------------------------------------- main --
+    def __call__(self, source, collect_diagnostics: bool = False) -> DiarizationResult:
+        cfg = self.cfg
+        sr = cfg.audio.sample_rate
+
+        with stage_timer(log, "load+preprocess"):
+            y, sr = self.load(source)
+        total_s = y.shape[-1] / sr
+
+        with stage_timer(log, "vad"):
+            probs = self.vad_probs(y, sr)
+            speech = vad_segments_from_probs(probs, cfg.vad)
+        if len(speech) == 0:
+            empty = SegmentArray.from_pairs([])
+            return DiarizationResult(empty, empty, 0)
+
+        # one dense embedding grid serves SCD + segment embeddings + reassign
+        grid_win_s = cfg.reseg.win_s
+        grid_hop_s = cfg.reseg.hop_s
+        with stage_timer(log, "embed-grid"):
+            win_embs = embed_windows(
+                self.encode_fn, y, sr, grid_win_s, grid_hop_s,
+                batch=cfg.embed.batch_size,
+            )
+            starts_s = window_starts(y.shape[-1], sr, grid_win_s, grid_hop_s) / sr
+
+        # SCD at its own hop = a stride over the shared grid
+        speech2 = speech
+        if cfg.scd.enabled:
+            stride = max(1, int(round(cfg.scd.hop_ms / 1000.0 / grid_hop_s)))
+            with stage_timer(log, "scd"):
+                speech2 = scd_split(
+                    speech,
+                    win_embs[::stride],
+                    starts_s[::stride],
+                    grid_win_s,
+                    grid_hop_s * stride,
+                    z_threshold=cfg.scd.peak_z_threshold,
+                    min_speech_s=cfg.scd.min_speech_ms / 1000.0,
+                )
+        log.info("segments: vad=%d scd=%d", len(speech), len(speech2))
+
+        with stage_timer(log, "segment-embeddings"):
+            if cfg.embed.mode == "bucketed":
+                seg_embs = embed_segments_bucketed(
+                    self.encode_fn, np.asarray(y), sr, speech2,
+                    min_duration_ms=cfg.embed.min_duration_ms,
+                    pad_duration_ms=cfg.embed.pad_duration_ms,
+                    batch=min(cfg.embed.batch_size, 32),
+                )
+            else:
+                seg_embs = segment_embeddings_from_grid(
+                    win_embs, starts_s, grid_win_s, speech2
+                )
+            if cfg.embed.whiten and len(speech2) > 4:
+                seg_embs = np.asarray(cluster_mod.whiten(jnp.asarray(seg_embs)))
+
+        with stage_timer(log, "cluster"):
+            labels = self._cluster(seg_embs)
+        speech2 = SegmentArray(speech2.starts, speech2.ends, labels)
+        n_spk = int(labels.max()) + 1 if labels.size else 0
+        log.info("clustered %d segments into %d speakers", len(speech2), n_spk)
+
+        with stage_timer(log, "merge"):
+            speech3, embs3 = conservative_merge(
+                speech2,
+                seg_embs,
+                max_gap_s=cfg.merge.max_gap_s,
+                max_turn_s=cfg.merge.max_turn_s,
+                min_cos=cfg.merge.min_cos,
+            )
+
+        if cfg.reseg.enabled:
+            with stage_timer(log, "reassign"):
+                speech4 = frame_reassign(
+                    speech, speech3, embs3, win_embs, starts_s,
+                    grid_win_s, total_s,
+                    hmm=cfg.reseg.hmm,
+                    hmm_self_loop=cfg.reseg.hmm_self_loop,
+                    adjacent_gap_s=cfg.reseg.adjacent_gap_s,
+                )
+        else:
+            speech4 = speech3
+
+        final = merge_adjacent(speech4, cfg.merge.max_gap_s)
+        num_speakers = len({int(k) for k in final.spks if k >= 0})
+
+        diagnostics: dict[str, Any] = {}
+        if collect_diagnostics:
+            diagnostics = {
+                "vad_probs": probs,
+                "window_embeddings": win_embs,
+                "window_starts_s": starts_s,
+                "segment_embeddings": seg_embs,
+                "labels": labels,
+            }
+        return DiarizationResult(final, speech, num_speakers, diagnostics)
+
+    # ------------------------------------------------------------- cluster --
+    def _cluster(self, embs: np.ndarray) -> np.ndarray:
+        c = self.cfg.cluster
+        n = embs.shape[0]
+        if n == 0:
+            return np.zeros((0,), dtype=np.int32)
+        if n == 1:
+            return np.zeros((1,), dtype=np.int32)
+        if c.method == "spectral":
+            labels = cluster_mod.spectral_cluster(
+                embs, min_speakers=c.min_speakers, max_speakers=c.max_speakers,
+                p_percentile=c.p_percentile,
+            )
+        elif c.method == "ahc":
+            labels = cluster_mod.ahc_cluster(
+                embs, cos_threshold=c.cos_threshold,
+                min_speakers=c.min_speakers, max_speakers=c.max_speakers,
+            )
+        elif c.method == "hdbscan":
+            labels = cluster_mod.hdbscan_cluster(embs, min_cluster_size=c.min_cluster_size)
+        elif c.method == "hdbscan2":
+            labels = cluster_mod.hdbscan_two_stage(embs, min_cluster_size=c.min_cluster_size)
+        else:
+            raise ValueError(f"unknown cluster method {c.method}")
+        if (labels < 0).all():
+            # all-noise fallback: one speaker (diar_diag.py:375-377)
+            labels = np.zeros_like(labels)
+        return labels.astype(np.int32)
+
+
+def diarize(source, cfg: DiarizationConfig | None = None, **kwargs) -> list[Segment]:
+    """One-call functional API mirroring ``anti_stick_diarize.diarize``:
+    returns labeled segments for a path or (array, sr) input."""
+    return DiarizationPipeline(cfg, **kwargs)(source).to_segments()

@@ -86,5 +86,11 @@ def frame_reassign(
         best = np.argmax(scores, axis=1)
     labels = np.where(valid, spk_ids[best], -1)
 
-    refined = labels_to_segments(win_starts_s, labels, total_duration_s)
+    # A window's label describes its CENTER: window i spans
+    # [center - hop/2, center + hop/2) in the output timeline (labeling by
+    # start time would bias every boundary left by win/2).
+    hop_s = float(win_starts_s[1] - win_starts_s[0]) if len(win_starts_s) > 1 else win_s
+    bounds = np.clip(centers - hop_s / 2.0, 0.0, total_duration_s)
+    end_time = float(min(total_duration_s, centers[-1] + hop_s / 2.0))
+    refined = labels_to_segments(bounds, labels, end_time)
     return merge_adjacent(refined, adjacent_gap_s)

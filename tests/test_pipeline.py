@@ -1,0 +1,203 @@
+"""End-to-end pipeline integration tests on synthetic multi-speaker audio
+(SURVEY.md §4: two alternating synthetic 'speakers' with known boundaries ->
+assert DER ~ 0), plus metrics and IO round trips."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from speech_diarization_tpu import config as cfg_mod
+from speech_diarization_tpu.metrics import diarization_error_rate
+from speech_diarization_tpu.pipelines.diarize import DiarizationPipeline
+from speech_diarization_tpu.types import SegmentArray
+
+SR = 16000
+
+
+def _fake_encoder(wavs):
+    """Spectral-signature oracle embedder (separates sine 'speakers')."""
+    w = np.asarray(wavs)
+    spec = np.abs(np.fft.rfft(w, axis=1))
+    bands = np.array_split(np.arange(spec.shape[1]), 16)
+    feats = np.stack([spec[:, b].mean(axis=1) for b in bands], axis=1)
+    feats = feats / (np.linalg.norm(feats, axis=1, keepdims=True) + 1e-8)
+    return jnp.asarray(feats.astype(np.float32))
+
+
+def synth_conversation(turns, sr=SR, gap_s=0.5, seed=0):
+    """turns: list of (speaker_id, duration_s). Returns (wave, truth SegmentArray).
+    Speakers are modulated tones at distinct fundamentals."""
+    g = np.random.default_rng(seed)
+    freqs = {0: 180.0, 1: 850.0, 2: 2400.0, 3: 420.0}
+    parts, starts, ends, spks = [], [], [], []
+    t0 = 0.0
+    for spk, dur in turns:
+        gap = np.zeros(int(gap_s * sr), np.float32)
+        parts.append(gap)
+        t0 += gap_s
+        t = np.arange(int(dur * sr)) / sr
+        f = freqs[spk]
+        sig = 0.35 * np.sin(2 * np.pi * f * t) * (1 + 0.2 * np.sin(2 * np.pi * 2.3 * t))
+        sig = sig + 0.005 * g.standard_normal(len(t))
+        parts.append(sig.astype(np.float32))
+        starts.append(t0)
+        ends.append(t0 + dur)
+        spks.append(spk)
+        t0 += dur
+    parts.append(np.zeros(int(gap_s * sr), np.float32))
+    wave = np.concatenate(parts)
+    return wave, SegmentArray(np.array(starts), np.array(ends),
+                              np.array(spks, dtype=np.int32))
+
+
+def make_pipeline(**overrides):
+    cfg = cfg_mod.DiarizationConfig(
+        audio=cfg_mod.AudioConfig(target_lufs=None, preemphasis=None),
+        scd=cfg_mod.ScdConfig(enabled=True),
+        cluster=cfg_mod.ClusterConfig(method=overrides.pop("method", "spectral"),
+                                      max_speakers=6),
+        **overrides,
+    )
+    return DiarizationPipeline(cfg, encode_fn=_fake_encoder)
+
+
+class TestEndToEnd:
+    def test_two_speaker_der(self):
+        wave, truth = synth_conversation(
+            [(0, 3.0), (1, 2.5), (0, 2.0), (1, 3.0), (0, 2.5)])
+        pipe = make_pipeline()
+        result = pipe((wave, SR))
+        assert result.num_speakers == 2
+        der = diarization_error_rate(truth, result.segments, collar_s=0.25)
+        assert der.der < 0.10, str(der)
+
+    def test_three_speakers(self):
+        wave, truth = synth_conversation(
+            [(0, 3.0), (1, 2.5), (2, 3.0), (0, 2.0), (1, 2.5), (2, 2.0)])
+        pipe = make_pipeline()
+        result = pipe((wave, SR))
+        assert result.num_speakers == 3
+        der = diarization_error_rate(truth, result.segments, collar_s=0.25)
+        assert der.der < 0.12, str(der)
+
+    def test_ahc_backend(self):
+        wave, truth = synth_conversation([(0, 3.0), (1, 3.0), (0, 2.0)])
+        pipe = make_pipeline(method="ahc")
+        result = pipe((wave, SR))
+        der = diarization_error_rate(truth, result.segments, collar_s=0.25)
+        assert der.der < 0.12, str(der)
+
+    def test_empty_audio(self):
+        pipe = make_pipeline()
+        result = pipe((np.zeros(SR, np.float32), SR))
+        assert len(result.segments) == 0
+        assert result.num_speakers == 0
+
+    def test_single_speaker(self):
+        wave, truth = synth_conversation([(0, 4.0)])
+        pipe = make_pipeline()
+        result = pipe((wave, SR))
+        assert result.num_speakers == 1
+        der = diarization_error_rate(truth, result.segments, collar_s=0.25)
+        assert der.der < 0.10, str(der)
+
+    def test_resampled_input(self):
+        wave, truth = synth_conversation([(0, 3.0), (1, 3.0)])
+        # feed at 8 kHz; pipeline must resample to 16 kHz internally
+        from speech_diarization_tpu.dsp.resample import resample_host
+
+        wave8 = resample_host(wave, SR, 8000)
+        pipe = make_pipeline()
+        result = pipe((wave8, 8000))
+        assert result.num_speakers == 2
+
+
+class TestDerMetric:
+    def test_perfect_hypothesis(self):
+        truth = SegmentArray(np.array([0.0, 5.0]), np.array([4.0, 9.0]),
+                             np.array([0, 1]))
+        der = diarization_error_rate(truth, truth, collar_s=0.0)
+        assert der.der == 0.0
+
+    def test_permuted_labels_are_free(self):
+        truth = SegmentArray(np.array([0.0, 5.0]), np.array([4.0, 9.0]),
+                             np.array([0, 1]))
+        hyp = SegmentArray(np.array([0.0, 5.0]), np.array([4.0, 9.0]),
+                           np.array([1, 0]))
+        assert diarization_error_rate(truth, hyp, collar_s=0.0).der == 0.0
+
+    def test_miss_and_fa(self):
+        truth = SegmentArray(np.array([0.0]), np.array([10.0]), np.array([0]))
+        hyp = SegmentArray(np.array([0.0]), np.array([5.0]), np.array([0]))
+        der = diarization_error_rate(truth, hyp, collar_s=0.0)
+        assert abs(der.miss - 0.5) < 0.01
+        assert der.false_alarm < 0.01
+
+        hyp2 = SegmentArray(np.array([0.0]), np.array([15.0]), np.array([0]))
+        der2 = diarization_error_rate(truth, hyp2, collar_s=0.0)
+        assert abs(der2.false_alarm - 0.5) < 0.01
+
+    def test_confusion(self):
+        truth = SegmentArray(np.array([0.0, 5.0]), np.array([5.0, 10.0]),
+                             np.array([0, 1]))
+        hyp = SegmentArray(np.array([0.0]), np.array([10.0]), np.array([0]))
+        der = diarization_error_rate(truth, hyp, collar_s=0.0)
+        assert abs(der.confusion - 0.5) < 0.01
+
+    def test_collar_forgives_boundaries(self):
+        truth = SegmentArray(np.array([0.0]), np.array([5.0]), np.array([0]))
+        hyp = SegmentArray(np.array([0.1]), np.array([4.9]), np.array([0]))
+        assert diarization_error_rate(truth, hyp, collar_s=0.25).der == 0.0
+
+
+class TestIo:
+    def test_wav_roundtrip(self, tmp_path):
+        from speech_diarization_tpu.io import read_audio, write_wav
+
+        g = np.random.default_rng(0)
+        y = (0.5 * g.standard_normal(SR)).astype(np.float32).clip(-1, 1)
+        path = tmp_path / "t.wav"
+        write_wav(path, y, SR)
+        back, sr = read_audio(path, target_sr=SR)
+        assert sr == SR
+        np.testing.assert_allclose(back, y, atol=1.0 / 32767 * 2)
+
+    def test_writers_roundtrip(self, tmp_path):
+        from speech_diarization_tpu.io import save_csv, save_json, save_srt, write_rttm
+        from speech_diarization_tpu.io.writers import parse_rttm
+
+        segs = SegmentArray(np.array([0.0, 2.5]), np.array([1.25, 4.0]),
+                            np.array([0, 3]))
+        write_rttm(tmp_path / "a.rttm", segs)
+        save_json(tmp_path / "a.json", segs)
+        save_srt(tmp_path / "a.srt", segs)
+        save_csv(tmp_path / "a.csv", segs)
+        back = parse_rttm(tmp_path / "a.rttm")
+        np.testing.assert_allclose(back.starts, segs.starts, atol=1e-3)
+        np.testing.assert_allclose(back.ends, segs.ends, atol=1e-3)
+        assert (tmp_path / "a.json").stat().st_size > 0
+        srt = (tmp_path / "a.srt").read_text()
+        assert "00:00:01,250" in srt
+
+    def test_stems_extraction(self, tmp_path):
+        from speech_diarization_tpu.io import extract_speaker_stems
+        from speech_diarization_tpu.io.audio import read_audio
+
+        wave, truth = synth_conversation([(0, 4.0), (1, 3.5), (0, 3.5)])
+        out = extract_speaker_stems(wave, SR, truth, tmp_path, min_stem_s=3.0,
+                                    max_segment_s=20.0)
+        assert set(out) == {0, 1}
+        assert len(out[0]) >= 1
+        y0, sr0 = read_audio(out[0][0], target_sr=None)
+        assert y0.shape[0] > 3.0 * SR  # two speaker-0 turns + capped gap
+
+    def test_walk(self, tmp_path):
+        from speech_diarization_tpu.io import expand_audios, write_wav
+
+        write_wav(tmp_path / "a" / "x.wav", np.zeros(100, np.float32), SR)
+        write_wav(tmp_path / "y.wav", np.zeros(100, np.float32), SR)
+        (tmp_path / "notes.txt").write_text("hi")
+        files, root = expand_audios(tmp_path)
+        assert len(files) == 2
+        single, parent = expand_audios(tmp_path / "y.wav")
+        assert single == [(tmp_path / "y.wav").resolve()]
