@@ -72,6 +72,55 @@ _spectral_jit = jax.jit(
     static_argnames=("min_speakers", "max_speakers", "p_percentile"),
 )
 
+# Flipped to False the first time the device backend reports an unsupported
+# lowering (the experimental axon TPU backend lacks sort/eigh); the numpy
+# mirror below then serves — the affinity matrices are tiny (N = #segments).
+_DEVICE_OK = True
+
+
+def _spectral_labels_np(
+    embs: np.ndarray, weights: np.ndarray, min_speakers: int,
+    max_speakers: int, p_percentile: float,
+) -> np.ndarray:
+    """Host mirror of :func:`_spectral_labels` (same algorithm, numpy)."""
+    e = embs / (np.linalg.norm(embs, axis=1, keepdims=True) + 1e-8)
+    aff = e @ e.T
+    n = aff.shape[0]
+    eye = np.eye(n, dtype=bool)
+    a = np.where(eye, -np.inf, aff)
+    row_max = a.max(axis=1, keepdims=True)
+    a = np.where(eye, row_max, aff)
+    thr = np.percentile(a, p_percentile * 100.0, axis=1, keepdims=True)
+    a = np.where(a >= thr, a, a * 0.01)
+    a = np.clip(0.5 * (a + a.T), 0.0, None)
+    deg = a.sum(axis=1)
+    dsq = 1.0 / np.sqrt(np.maximum(deg, 1e-8))
+    lap = np.eye(n) - (dsq[:, None] * a) * dsq[None, :]
+    eigvals, eigvecs = np.linalg.eigh(lap)
+    kmax = min(max_speakers, n - 1)
+    gaps = eigvals[1 : kmax + 1] - eigvals[:kmax]
+    idx = np.arange(1, kmax + 1)
+    gaps = np.where((idx >= min_speakers) & (idx <= max_speakers), gaps, -np.inf)
+    k = int(np.argmax(gaps)) + 1
+    spec = eigvecs[:, :k]
+    spec = spec / (np.linalg.norm(spec, axis=1, keepdims=True) + 1e-9)
+    # farthest-point init + lloyd
+    centers = np.zeros((k, spec.shape[1]))
+    centers[0] = spec[np.argmin(((spec - spec.mean(0)) ** 2).sum(1))]
+    min_d = np.full(n, np.inf)
+    for i in range(1, k):
+        min_d = np.minimum(min_d, ((spec - centers[i - 1]) ** 2).sum(1))
+        centers[i] = spec[np.argmax(min_d)]
+    for _ in range(25):
+        d = ((spec[:, None, :] - centers[None]) ** 2).sum(-1)
+        labels = d.argmin(1)
+        for j in range(k):
+            sel = (labels == j) & (weights > 0)
+            if sel.any():
+                centers[j] = spec[sel].mean(0)
+    d = ((spec[:, None, :] - centers[None]) ** 2).sum(-1)
+    return d.argmin(1).astype(np.int32)
+
 
 def spectral_cluster(
     embs,
@@ -99,15 +148,29 @@ def spectral_cluster(
     idx = np.arange(n_pad) % n
     padded = embs[idx]
     weights = (np.arange(n_pad) < n).astype(np.float32)
-    labels = np.asarray(
-        _spectral_jit(
-            jnp.asarray(padded),
-            jnp.asarray(weights),
-            int(min_speakers),
-            int(max_speakers),
-            p_percentile,
+    global _DEVICE_OK
+    labels = None
+    if _DEVICE_OK:
+        try:
+            labels = np.asarray(
+                _spectral_jit(
+                    jnp.asarray(padded),
+                    jnp.asarray(weights),
+                    int(min_speakers),
+                    int(max_speakers),
+                    p_percentile,
+                )
+            )
+        except Exception as e:  # pragma: no cover - backend dependent
+            if "nimplemented" in str(e):
+                _DEVICE_OK = False
+            else:
+                raise
+    if labels is None:
+        labels = _spectral_labels_np(
+            padded, weights, int(min_speakers), int(max_speakers), p_percentile
         )
-    )[:n]
+    labels = labels[:n]
     # relabel to contiguous 0..k-1 by first appearance
     uniq, first_pos = np.unique(labels, return_index=True)
     order = uniq[np.argsort(first_pos)]

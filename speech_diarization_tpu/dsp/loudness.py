@@ -56,29 +56,43 @@ def k_weighting_coeffs(fs: float) -> list[tuple[np.ndarray, np.ndarray]]:
     return [_high_shelf_coeffs(fs), _high_pass_coeffs(fs)]
 
 
+_FIR_TAPS = 8192  # > IIR decay to <1e-6 at any fs we support
+
+
 @lru_cache(maxsize=16)
-def _k_freq_response(fs: int, n_fft: int) -> np.ndarray:
-    """Cascade transfer function at rfft bin frequencies, [n_fft//2+1] complex."""
-    w = np.linspace(0.0, np.pi, n_fft // 2 + 1)
-    z = np.exp(-1j * w)
-    h = np.ones_like(z, dtype=np.complex128)
+def _k_fir_taps(fs: int, n_taps: int = _FIR_TAPS) -> np.ndarray:
+    """Causal FIR truncation of the biquad cascade's impulse response
+    (computed once on host; decays below 1e-6 well inside ``n_taps``)."""
+    from scipy import signal as sps
+
+    h = np.zeros(n_taps)
+    h[0] = 1.0
     for b, a in k_weighting_coeffs(float(fs)):
-        h *= (b[0] + b[1] * z + b[2] * z**2) / (a[0] + a[1] * z + a[2] * z**2)
-    return h.astype(np.complex64)
-
-
-_DECAY_PAD = 8192  # > IIR decay to <1e-6 at any fs we support
+        h = sps.lfilter(b, a, h)
+    return h.astype(np.float32)
 
 
 def k_weight(y: jax.Array, fs: int) -> jax.Array:
-    """Apply the K-weighting cascade to [T] via FFT filtering (linear-phase
-    exact up to the cascade's decayed tail)."""
+    """Apply the K-weighting cascade to [T] as a causal FIR convolution.
+
+    The truncated impulse response matches the exact IIR to ~1e-6; a strided
+    dilated conv keeps this on the TPU conv units (no FFT dependency — the
+    experimental axon backend has no FFT lowering).
+    """
     t = y.shape[-1]
-    n_fft = int(2 ** np.ceil(np.log2(t + _DECAY_PAD)))
-    h = jnp.asarray(_k_freq_response(fs, n_fft))
-    spec = jnp.fft.rfft(y, n=n_fft)
-    out = jnp.fft.irfft(spec * h, n=n_fft)
-    return out[..., :t]
+    h = _k_fir_taps(fs)
+    squeeze = y.ndim == 1
+    if squeeze:
+        y = y[None]
+    out = jax.lax.conv_general_dilated(
+        y[:, None, :],
+        jnp.asarray(h[::-1].copy())[None, None, :],
+        window_strides=(1,),
+        padding=((len(h) - 1, 0),),  # causal
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    )[:, 0, :t]
+    return out[0] if squeeze else out
 
 
 def integrated_loudness(y: jax.Array, fs: int) -> jax.Array:

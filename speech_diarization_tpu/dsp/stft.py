@@ -43,6 +43,38 @@ def _dft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
 
 
+@lru_cache(maxsize=8)
+def _idft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse real-DFT basis: frames = Re @ Ci_r + Im @ Ci_i, [n_bins, n_fft].
+
+    Interior bins count twice (conjugate symmetry); DC and Nyquist once.
+    """
+    n_bins = n_fft // 2 + 1
+    k = np.arange(n_bins)[:, None]
+    t = np.arange(n_fft)[None, :]
+    ang = 2.0 * np.pi * k * t / n_fft
+    w = np.full((n_bins, 1), 2.0)
+    w[0, 0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1, 0] = 1.0
+    ci_r = (w * np.cos(ang) / n_fft).astype(np.float32)
+    ci_i = (-w * np.sin(ang) / n_fft).astype(np.float32)
+    return ci_r, ci_i
+
+
+# DFT execution mode: 'fft' uses XLA's FFT, 'matmul' rides the MXU.  The
+# matmul path is both the TPU-performance choice for these small transforms
+# (n_fft <= 512) and the compatibility choice for backends without an FFT
+# lowering (the experimental axon TPU backend).
+DEFAULT_DFT_MODE = "matmul"
+
+
+def _use_matmul(matmul: bool | None) -> bool:
+    if matmul is None:
+        return DEFAULT_DFT_MODE == "matmul"
+    return matmul
+
+
 def stft(
     y: jax.Array,
     n_fft: int = 512,
@@ -50,7 +82,7 @@ def stft(
     win_length: int | None = None,
     window: jax.Array | None = None,
     center: bool = True,
-    matmul: bool = False,
+    matmul: bool | None = None,
 ) -> jax.Array:
     """STFT of [..., T] -> complex [..., n_bins, n_frames] (torch layout).
 
@@ -75,10 +107,12 @@ def stft(
     frames = frame_signal(y, n_fft, hop, pad_tail=False)  # [B, n, n_fft]
     frames = frames * window[None, None, :]
 
-    if matmul:
+    if _use_matmul(matmul):
         cos_m, msin_m = _dft_matrices(n_fft)
-        real = jnp.einsum("bnt,tk->bnk", frames, jnp.asarray(cos_m))
-        imag = jnp.einsum("bnt,tk->bnk", frames, jnp.asarray(msin_m))
+        real = jnp.einsum("bnt,tk->bnk", frames, jnp.asarray(cos_m),
+                          precision=jax.lax.Precision.HIGHEST)
+        imag = jnp.einsum("bnt,tk->bnk", frames, jnp.asarray(msin_m),
+                          precision=jax.lax.Precision.HIGHEST)
         spec = real + 1j * imag
     else:
         spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
@@ -95,6 +129,7 @@ def istft(
     window: jax.Array | None = None,
     center: bool = True,
     length: int | None = None,
+    matmul: bool | None = None,
 ) -> jax.Array:
     """Inverse STFT of complex [..., n_bins, n_frames] -> [..., T].
 
@@ -112,7 +147,17 @@ def istft(
     if squeeze:
         spec = spec[None]
 
-    frames = jnp.fft.irfft(jnp.transpose(spec, (0, 2, 1)), n=n_fft, axis=-1)
+    spec_nt = jnp.transpose(spec, (0, 2, 1))  # [B, n_frames, n_bins]
+    if _use_matmul(matmul):
+        ci_r, ci_i = _idft_matrices(n_fft)
+        frames = (
+            jnp.einsum("bnk,kt->bnt", jnp.real(spec_nt), jnp.asarray(ci_r),
+                       precision=jax.lax.Precision.HIGHEST)
+            + jnp.einsum("bnk,kt->bnt", jnp.imag(spec_nt), jnp.asarray(ci_i),
+                         precision=jax.lax.Precision.HIGHEST)
+        )
+    else:
+        frames = jnp.fft.irfft(spec_nt, n=n_fft, axis=-1)
     frames = frames * window[None, None, :]
 
     y = overlap_add(frames, hop)  # [B, T_pad]

@@ -125,7 +125,11 @@ def energy_vad_probs(
     frames = frame_signal(y, win, hop)
     rms_db = 10.0 * jnp.log10(jnp.mean(frames * frames, axis=-1) + 1e-10)
     rms_db = jnp.maximum(rms_db, floor_db)
-    noise_floor = jnp.percentile(rms_db, 20.0)
+    # sort-free noise-floor estimate (percentile would need a sort lowering,
+    # missing on the axon TPU backend): mean of the below-average frames
+    mean_db = jnp.mean(rms_db)
+    low = rms_db <= mean_db
+    noise_floor = jnp.sum(jnp.where(low, rms_db, 0.0)) / jnp.maximum(jnp.sum(low), 1)
     lo = jnp.maximum(noise_floor + 9.0, floor_db + 3.0)
     z = (rms_db - lo) / (dynamic_range_db / 10.0)
     return jax.nn.sigmoid(z)

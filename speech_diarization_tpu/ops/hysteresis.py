@@ -22,14 +22,19 @@ import jax.numpy as jnp
 def hysteresis_binarize(
     probs: jax.Array, on: float = 0.6, off: float = 0.4
 ) -> jax.Array:
-    """[T] probabilities -> [T] bool speech mask (initial state: not talking)."""
-    a = probs >= on
-    c = probs >= off
+    """[T] probabilities -> [T] bool speech mask (initial state: not talking).
+
+    Carried as float32 {0,1} (min/max play the role of and/or) so the
+    associative scan lowers on every backend, including axon TPU.
+    """
+    a = (probs >= on).astype(jnp.float32)
+    c = (probs >= off).astype(jnp.float32)
 
     def combine(x, y):
         ax, cx = x
         ay, cy = y
-        return ay | (cy & ax), cy & cx
+        # boolean algebra on {0,1} floats: or = max, and = min
+        return jnp.maximum(ay, jnp.minimum(cy, ax)), jnp.minimum(cy, cx)
 
     out_a, _ = jax.lax.associative_scan(combine, (a, c))
-    return out_a
+    return out_a > 0.5

@@ -27,10 +27,11 @@ def binary_erosion(mask: jax.Array, k: int) -> jax.Array:
     if k <= 1:
         return mask
     left, right = _pads(k)
-    x = jnp.pad(mask, (left, right), constant_values=False)
-    return jax.lax.reduce_window(
-        x, True, jax.lax.bitwise_and, (k,), (1,), "VALID"
-    )
+    # float min-pool (rather than a bool reduce_window) — the float lowering
+    # is universally supported, including the experimental axon TPU backend
+    x = jnp.pad(mask.astype(jnp.float32), (left, right), constant_values=0.0)
+    out = jax.lax.reduce_window(x, jnp.inf, jax.lax.min, (k,), (1,), "VALID")
+    return out > 0.5
 
 
 def binary_dilation(mask: jax.Array, k: int) -> jax.Array:
@@ -38,10 +39,9 @@ def binary_dilation(mask: jax.Array, k: int) -> jax.Array:
         return mask
     # dilation's window is the mirrored structure: origin flips for even k
     right, left = _pads(k)
-    x = jnp.pad(mask, (left, right), constant_values=False)
-    return jax.lax.reduce_window(
-        x, False, jax.lax.bitwise_or, (k,), (1,), "VALID"
-    )
+    x = jnp.pad(mask.astype(jnp.float32), (left, right), constant_values=0.0)
+    out = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (k,), (1,), "VALID")
+    return out > 0.5
 
 
 def binary_opening(mask: jax.Array, k: int) -> jax.Array:

@@ -1,0 +1,95 @@
+"""Enhancement pipeline tests: OLA reconstruction fidelity, window contracts,
+ZipEnhancer-class model shapes."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech_diarization_tpu.models.gtcrn import gtcrn_init_params
+from speech_diarization_tpu.pipelines.enhance import (
+    GtcrnEnhancer,
+    make_enhance_fn,
+    windowed_enhance,
+)
+
+SR = 16000
+
+
+def _sig(n, seed=0):
+    x = 0.3 * np.random.default_rng(seed).standard_normal(n)
+    return np.clip(x, -0.95, 0.95).astype(np.float32)  # stay under the peak limiter
+
+
+class TestWindowedEnhance:
+    def test_identity_model_reconstructs(self):
+        """With an identity 'denoiser', windowed OLA must reproduce the input
+        (up to the normalized sqrt-Hann partition of unity)."""
+        y = _sig(5 * SR)
+        out = windowed_enhance(lambda b: b, y, SR, window_s=2.0, hop_ratio=0.75,
+                               batch_size=8)
+        assert out.shape == y.shape
+        # first/last sample sit at the window's zero crossing — excluded
+        np.testing.assert_allclose(out[1:-1], y[1:-1], atol=1e-4)
+
+    def test_short_input_single_window(self):
+        y = _sig(SR)  # shorter than one 2s window
+        out = windowed_enhance(lambda b: b, y, SR)
+        assert out.shape == y.shape
+        np.testing.assert_allclose(out[1:-1], y[1:-1], atol=1e-4)
+
+    def test_peak_limiting(self):
+        y = _sig(3 * SR)
+        out = windowed_enhance(lambda b: b * 10.0, y, SR)
+        assert np.abs(out).max() <= 0.995
+
+    def test_gain_model_scales(self):
+        y = _sig(4 * SR)
+        out = windowed_enhance(lambda b: b * 0.5, y, SR)
+        np.testing.assert_allclose(out[1:-1], 0.5 * y[1:-1], atol=1e-4)
+
+
+class TestGtcrnEnhancer:
+    @pytest.fixture(scope="class")
+    def enhancer(self):
+        params = gtcrn_init_params(jax.random.PRNGKey(0))
+        return GtcrnEnhancer(params, chunk_s=4.0, overlap_s=1.0, batch_chunks=2)
+
+    def test_short_path_shape(self, enhancer):
+        y = _sig(2 * SR)
+        out = enhancer(y)
+        assert out.shape == y.shape
+        assert np.isfinite(out).all()
+
+    def test_chunked_path_matches_short_path_inside(self, enhancer):
+        """Chunked OLA must agree with the single-shot forward away from
+        chunk boundaries (the causal/consistency property of the reference's
+        streaming, gtcrn_wrap.py:101-153)."""
+        y = _sig(10 * SR)  # forces 4s chunking
+        out_chunked = enhancer(y)
+        single = GtcrnEnhancer(enhancer.params, chunk_s=12.0, overlap_s=1.0)
+        out_single = single(y)
+        assert out_chunked.shape == out_single.shape
+        # compare in the interior of the first chunk (no boundary effects)
+        a, b = SR, 2 * SR
+        err = np.abs(out_chunked[a:b] - out_single[a:b]).max()
+        scale = np.abs(out_single[a:b]).max() + 1e-6
+        assert err / scale < 0.05
+
+    def test_factory(self):
+        fn = make_enhance_fn("gtcrn", chunk_s=4.0)
+        y = _sig(SR)
+        out = np.asarray(fn(jnp.asarray(y)))
+        assert out.shape == y.shape
+
+
+class TestZipEnhancerModel:
+    def test_forward_shapes(self):
+        from speech_diarization_tpu.models.zipenhancer import ZipEnhancerModel
+
+        model = ZipEnhancerModel(channels=16, blocks=1, heads=2)
+        params = model.init(jax.random.PRNGKey(0))
+        wavs = jnp.asarray(_sig(2 * SR)[None].repeat(2, axis=0))
+        out = np.asarray(jax.jit(model.apply)(params, wavs))
+        assert out.shape == (2, 2 * SR)
+        assert np.isfinite(out).all()
