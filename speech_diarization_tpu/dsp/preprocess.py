@@ -38,6 +38,23 @@ def peak_normalize(y: jax.Array, peak: float = 1.0) -> jax.Array:
     return y * scale
 
 
+def rms_normalize(y: jax.Array, target_db: float = -25.0) -> jax.Array:
+    """Two-stage RMS normalization (``ans_audio_norm``,
+    ``zipenhancer_pipe.py:13-34``): scale to target RMS, then rescale by the
+    RMS of the above-average-power region (robust to long silences)."""
+    target = 10.0 ** (target_db / 20.0)
+    rms = jnp.sqrt(jnp.mean(y * y, axis=-1, keepdims=True))
+    y = y * (target / (rms + 1e-8))
+    power = y * y
+    avg = jnp.mean(power, axis=-1, keepdims=True)
+    hot = power > avg
+    n_hot = jnp.sum(hot, axis=-1, keepdims=True)
+    hot_ms = jnp.sum(jnp.where(hot, power, 0.0), axis=-1, keepdims=True) / jnp.maximum(n_hot, 1)
+    rms_hot = jnp.sqrt(hot_ms)
+    scale = jnp.where(n_hot > 0, target / (rms_hot + 1e-8), 1.0)
+    return y * scale
+
+
 def preprocess_waveform(
     y: jax.Array,
     dc: bool = True,

@@ -134,6 +134,45 @@ def windowed_enhance(
     return np.asarray(out)
 
 
+def enhance_batch(
+    root,
+    backend: str = "gtcrn",
+    params=None,
+    suffix: str = "-enhanced",
+    target_sr: int = 16000,
+    **kwargs,
+) -> list:
+    """Directory batch enhancement with skip-if-done resume.
+
+    Mirrors the batch CLIs of ``zipenhancex.main`` (``zipenhancex.py:199-212``:
+    walk → skip existing outputs → enhance → write) and
+    ``zipenhancer_pipe.main`` (``zipenhancer_pipe.py:151-159``: ``<stem>-ze``
+    naming); outputs land in a sibling ``<root>-enhanced`` tree.
+    """
+    from pathlib import Path
+
+    from ..io.audio import read_audio, write_wav
+    from ..io.walk import expand_audios
+
+    audios, proot = expand_audios(root)
+    troot = proot.with_name(f"{proot.stem}{suffix}")
+    fn = make_enhance_fn(backend, params=params, **kwargs)
+
+    written = []
+    for apath in audios:
+        rel = apath.relative_to(proot) if apath.is_relative_to(proot) else Path(apath.name)
+        tpath = (troot / rel).with_suffix(".wav")
+        if tpath.exists():  # resume: skip finished files (zipenhancex.py:207-209)
+            continue
+        y, sr = read_audio(apath, target_sr=target_sr, mono=True)
+        out = np.asarray(fn(jnp.asarray(y)))
+        tpath.parent.mkdir(parents=True, exist_ok=True)
+        write_wav(tpath, out, sr)
+        written.append(tpath)
+        log.info("enhanced %s -> %s", apath, tpath)
+    return written
+
+
 def make_enhance_fn(backend: str, params=None, **kwargs) -> Callable:
     """Factory for the pipeline's ``enhance_fn`` slot (the latent
     enhancement-before-diarization stage the reference left commented out at
