@@ -109,25 +109,16 @@ class ERes2NetV2:
 
     # -------------------------------------------------------------- apply ---
     def _block(self, blk: Params, x: jax.Array, stride: tuple[int, int], first: bool):
-        y = _conv_bn(blk["conv1"], x, padding=(0, 0))
+        # downsampling happens in the leading 1x1 conv so every Res2 group
+        # shares one spatial grid (the hierarchy adds groups elementwise)
+        y = _conv_bn(blk["conv1"], x, stride=stride, padding=(0, 0))
         parts = jnp.split(y, self.scale, axis=1)
         outs = [parts[0]]
         prev = None
         for i in range(1, self.scale):
             inp = parts[i] if prev is None else parts[i] + prev
-            prev = _conv_bn(blk["convs"][i - 1], inp,
-                            stride=stride if (first and i == 1) else (1, 1),
-                            padding=(1, 1))
+            prev = _conv_bn(blk["convs"][i - 1], inp, padding=(1, 1))
             outs.append(prev)
-        if first and stride != (1, 1):
-            # match spatial dims of untouched groups via pooling
-            outs = [
-                o if o.shape[2:] == outs[1].shape[2:]
-                else jax.lax.reduce_window(
-                    o, 0.0, jax.lax.add, (1, 1) + stride, (1, 1) + stride, "SAME"
-                ) / float(np.prod(stride))
-                for o in outs
-            ]
         y = jnp.concatenate(outs, axis=1)
         y = _conv_bn(blk["conv3"], y, padding=(0, 0), act=False)
         if "down" in blk:

@@ -102,6 +102,9 @@ def run_batch(
     exists is skipped."""
     diarizer = Diarizer(cfg, **pipeline_kwargs)
     audios, aroot = expand_audios(Path(root))
+    # don't re-ingest our own stem outputs on a resumed run
+    audios = [a for a in audios
+              if not any(part.endswith("-speakers") for part in a.parts)]
     log.info("batch: %d files under %s", len(audios), aroot)
     done = []
     for apath in audios:

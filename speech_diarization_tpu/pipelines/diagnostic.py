@@ -103,8 +103,12 @@ def diagnose(
     if nonadj.size == 0:
         nonadj = np.zeros(1)
 
-    labels = cluster_embeddings(embs, method=cluster_method,
-                                min_cluster_size=max(2, min(6, n // 4)))
+    cluster_kwargs: dict[str, Any] = {}
+    if cluster_method in ("hdbscan", "hdbscan2"):
+        # diar_diag uses min_cluster_size=6/min_samples=3 for long recordings
+        # (diar_diag.py:216); scale down for short inputs
+        cluster_kwargs["min_cluster_size"] = max(2, min(6, n // 4))
+    labels = cluster_embeddings(embs, method=cluster_method, **cluster_kwargs)
     uniq = sorted(int(u) for u in np.unique(labels) if u >= 0)
     if not uniq:
         labels = np.zeros(n, dtype=np.int32)
