@@ -133,7 +133,13 @@ def read_audio(
     if mono and y.shape[0] > 1:
         y = y.mean(axis=0, keepdims=True)
     if target_sr is not None and sr != target_sr:
-        y = resample_host(y, sr, target_sr)
+        from .. import native
+
+        if mono and native.available():
+            # OpenMP polyphase resampler (native/audioio.cpp), same filter
+            y = native.resample_poly(y[0], sr, target_sr)[None, :]
+        else:
+            y = resample_host(y, sr, target_sr)
         sr = target_sr
     if mono:
         y = y[0]
