@@ -1,0 +1,139 @@
+"""Corpus-scale batch diarization: multi-device file parallelism with host
+prefetch (the BASELINE.json config-5 '100 x 1-hr corpus' workload).
+
+The reference's only batch story is a sequential per-file Python loop with
+skip-if-done resume (``diarization_baseline.py:370-376``, ``zipenhancex.py:205-212``).
+Here the corpus is processed by one worker per device: each worker pins its
+jitted pipelines to a chip (``jax.default_device``), pulls files from a shared
+queue, and overlaps host decode/segment-algebra with device compute.  On a
+multi-chip host this is file-level data parallelism over ICI-attached chips;
+across hosts, shard the file list per host (DCN only carries file paths —
+SURVEY.md §2.3).
+
+Failure handling is structured (per-file try/except with an error table in
+the report), replacing the reference's silent ``except: pass`` swallowing
+(``diar_diag.py:37-43``; SURVEY.md §5 'Failure detection').
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Sequence
+
+import jax
+
+from ..config import DiarizationConfig
+from ..io.writers import write_rttm
+from ..types import SegmentArray
+from ..utils.logging import get_logger
+from .diarize import DiarizationPipeline
+
+log = get_logger("corpus")
+
+
+@dataclass
+class CorpusReport:
+    files: list[dict[str, Any]] = field(default_factory=list)
+    errors: list[dict[str, str]] = field(default_factory=list)
+    wall_s: float = 0.0
+    audio_s: float = 0.0
+    n_devices: int = 1
+
+    @property
+    def rtf(self) -> float:
+        return self.audio_s / self.wall_s if self.wall_s > 0 else 0.0
+
+    def summary(self) -> dict[str, Any]:
+        return {
+            "files_ok": len(self.files),
+            "files_failed": len(self.errors),
+            "audio_s": round(self.audio_s, 1),
+            "wall_s": round(self.wall_s, 2),
+            "rtf": round(self.rtf, 2),
+            "devices": self.n_devices,
+        }
+
+
+def corpus_diarize(
+    sources: Sequence,
+    cfg: DiarizationConfig | None = None,
+    devices: Sequence | None = None,
+    rttm_dir: str | Path | None = None,
+    pipeline_factory=None,
+    **pipeline_kwargs,
+) -> CorpusReport:
+    """Diarize many files across all available devices.
+
+    ``pipeline_factory()`` may be passed to construct per-worker pipelines
+    (e.g. with pre-loaded weights); default builds a ``DiarizationPipeline``
+    from ``cfg``/``pipeline_kwargs`` per worker.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    work: queue.Queue = queue.Queue()
+    for i, src in enumerate(sources):
+        work.put((i, src))
+
+    report = CorpusReport(n_devices=len(devices))
+    lock = threading.Lock()
+    sr = (cfg or DiarizationConfig()).audio.sample_rate
+
+    def worker(dev):
+        factory = pipeline_factory or (
+            lambda: DiarizationPipeline(cfg, **pipeline_kwargs)
+        )
+        with jax.default_device(dev):
+            pipe = factory()
+            while True:
+                try:
+                    idx, src = work.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    t0 = time.perf_counter()
+                    result = pipe(src)
+                    dt = time.perf_counter() - t0
+                    dur = _source_duration(src, result, sr)
+                    if rttm_dir is not None and isinstance(src, (str, Path)):
+                        out = Path(rttm_dir) / (Path(src).stem + ".rttm")
+                        out.parent.mkdir(parents=True, exist_ok=True)
+                        write_rttm(out, result.segments, uri=Path(src).stem)
+                    with lock:
+                        report.files.append({
+                            "source": str(src) if isinstance(src, (str, Path)) else f"array[{idx}]",
+                            "segments": len(result.segments),
+                            "speakers": result.num_speakers,
+                            "wall_s": round(dt, 3),
+                            "audio_s": round(dur, 2),
+                            "device": str(dev),
+                        })
+                        report.audio_s += dur
+                except Exception as e:  # structured failure table, keep going
+                    with lock:
+                        report.errors.append({
+                            "source": str(src) if isinstance(src, (str, Path)) else f"array[{idx}]",
+                            "error": f"{type(e).__name__}: {e}",
+                        })
+                    log.warning("corpus file failed: %s (%s)", src, e)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker, args=(d,)) for d in devices]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    report.wall_s = time.perf_counter() - t0
+    log.info("corpus done: %s", report.summary())
+    return report
+
+
+def _source_duration(src, result, sr: int) -> float:
+    if isinstance(src, tuple):
+        y, s = src
+        return float(len(y)) / s
+    # derived from the VAD timeline end (cheap; avoids re-decoding)
+    if len(result.vad_segments):
+        return float(result.vad_segments.ends.max())
+    return 0.0
