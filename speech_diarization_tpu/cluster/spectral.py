@@ -72,10 +72,15 @@ _spectral_jit = jax.jit(
     static_argnames=("min_speakers", "max_speakers", "p_percentile"),
 )
 
-# Flipped to False the first time the device backend reports an unsupported
-# lowering (the experimental axon TPU backend lacks sort/eigh); the numpy
-# mirror below then serves — the affinity matrices are tiny (N = #segments).
-_DEVICE_OK = True
+def _device_capable() -> bool:
+    """The device path needs percentile (sort) and eigh; on backends without
+    those lowerings (axon) the numpy mirror serves — the affinity matrices
+    are tiny (N = #segments), so this is never the bottleneck.  NOTE: this
+    must be decided statically; a failed compile poisons the axon process."""
+    from ..utils.backend import features
+
+    f = features()
+    return f.sort and f.eigh
 
 
 def _spectral_labels_np(
@@ -148,25 +153,17 @@ def spectral_cluster(
     idx = np.arange(n_pad) % n
     padded = embs[idx]
     weights = (np.arange(n_pad) < n).astype(np.float32)
-    global _DEVICE_OK
-    labels = None
-    if _DEVICE_OK:
-        try:
-            labels = np.asarray(
-                _spectral_jit(
-                    jnp.asarray(padded),
-                    jnp.asarray(weights),
-                    int(min_speakers),
-                    int(max_speakers),
-                    p_percentile,
-                )
+    if _device_capable():
+        labels = np.asarray(
+            _spectral_jit(
+                jnp.asarray(padded),
+                jnp.asarray(weights),
+                int(min_speakers),
+                int(max_speakers),
+                p_percentile,
             )
-        except Exception as e:  # pragma: no cover - backend dependent
-            if "nimplemented" in str(e):
-                _DEVICE_OK = False
-            else:
-                raise
-    if labels is None:
+        )
+    else:
         labels = _spectral_labels_np(
             padded, weights, int(min_speakers), int(max_speakers), p_percentile
         )
