@@ -29,14 +29,17 @@ class BackendFeatures:
 
 @lru_cache(maxsize=1)
 def features() -> BackendFeatures:
+    import os
+
     import jax
 
     platform = jax.devices()[0].platform.lower()
+    if os.environ.get("SDTPU_ASSUME_FULL_BACKEND"):
+        return BackendFeatures(platform, fft=True, sort=True, eigh=True)
     if platform in ("cpu", "gpu", "cuda", "rocm"):
         return BackendFeatures(platform, fft=True, sort=True, eigh=True)
-    if platform == "tpu":
-        # real TPU backends support all three (sort via lowered comparator
-        # networks, eigh via QR); the axon tunnel reports platform 'axon'
-        return BackendFeatures(platform, fft=True, sort=True, eigh=True)
-    # axon or unknown experimental backends: assume the minimal op set
+    # TPU-family platforms get the conservative op set by default: the host
+    # mirrors only touch tiny per-file matrices, while a wrong full-support
+    # guess on the axon tunnel poisons the process.  Production TPU fleets
+    # (where sort/eigh work) can set SDTPU_ASSUME_FULL_BACKEND=1.
     return BackendFeatures(platform, fft=False, sort=False, eigh=False)
