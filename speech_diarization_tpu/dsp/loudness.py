@@ -56,15 +56,14 @@ def k_weighting_coeffs(fs: float) -> list[tuple[np.ndarray, np.ndarray]]:
     return [_high_shelf_coeffs(fs), _high_pass_coeffs(fs)]
 
 
-_FIR_TAPS = 8192  # > IIR decay to <1e-6 at any fs we support
-
-
 @lru_cache(maxsize=16)
-def _k_fir_taps(fs: int, n_taps: int = _FIR_TAPS) -> np.ndarray:
+def _k_fir_taps(fs: int) -> np.ndarray:
     """Causal FIR truncation of the biquad cascade's impulse response
-    (computed once on host; decays below 1e-6 well inside ``n_taps``)."""
+    (computed once on host).  The RLB high-pass pole decays below 1e-6 within
+    ~1500 samples at 16 kHz (~4000 at 48 kHz); taps are sized accordingly."""
     from scipy import signal as sps
 
+    n_taps = 2048 if fs <= 24000 else 4096
     h = np.zeros(n_taps)
     h[0] = 1.0
     for b, a in k_weighting_coeffs(float(fs)):
@@ -75,8 +74,8 @@ def _k_fir_taps(fs: int, n_taps: int = _FIR_TAPS) -> np.ndarray:
 def k_weight(y: jax.Array, fs: int) -> jax.Array:
     """Apply the K-weighting cascade to [T] as a causal FIR convolution.
 
-    The truncated impulse response matches the exact IIR to ~1e-6; a strided
-    dilated conv keeps this on the TPU conv units (no FFT dependency — the
+    The truncated impulse response matches the exact IIR to ~1e-5; a plain
+    strided conv keeps this on the TPU conv units (no FFT dependency — the
     experimental axon backend has no FFT lowering).
     """
     t = y.shape[-1]
@@ -90,7 +89,6 @@ def k_weight(y: jax.Array, fs: int) -> jax.Array:
         window_strides=(1,),
         padding=((len(h) - 1, 0),),  # causal
         dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,
     )[:, 0, :t]
     return out[0] if squeeze else out
 

@@ -178,6 +178,88 @@ def istft(
     return y[0] if squeeze else y
 
 
+def stft_ri(
+    y: jax.Array,
+    n_fft: int = 512,
+    hop: int = 256,
+    win_length: int | None = None,
+    window: jax.Array | None = None,
+    center: bool = True,
+) -> jax.Array:
+    """Complex-free STFT: [..., T] -> real [..., n_bins, n_frames, 2].
+
+    Pure real matmul arithmetic end to end (no complex HLOs — safest path on
+    experimental backends), same layout as ``spec_as_real(stft(...))``.
+    """
+    win_length = win_length or n_fft
+    if window is None:
+        window = sqrt_hann_window(win_length)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+
+    squeeze = y.ndim == 1
+    if squeeze:
+        y = y[None, :]
+    if center:
+        pad = n_fft // 2
+        y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+    frames = frame_signal(y, n_fft, hop, pad_tail=False) * window[None, None, :]
+    cos_m, msin_m = _dft_matrices(n_fft)
+    real = jnp.einsum("bnt,tk->bnk", frames, jnp.asarray(cos_m),
+                      precision=jax.lax.Precision.HIGHEST)
+    imag = jnp.einsum("bnt,tk->bnk", frames, jnp.asarray(msin_m),
+                      precision=jax.lax.Precision.HIGHEST)
+    out = jnp.stack([real, imag], axis=-1)  # [B, n, k, 2]
+    out = jnp.transpose(out, (0, 2, 1, 3))  # [B, k, n, 2]
+    return out[0] if squeeze else out
+
+
+def istft_ri(
+    spec_ri: jax.Array,
+    n_fft: int = 512,
+    hop: int = 256,
+    win_length: int | None = None,
+    window: jax.Array | None = None,
+    center: bool = True,
+    length: int | None = None,
+) -> jax.Array:
+    """Complex-free inverse STFT: real [..., n_bins, n_frames, 2] -> [..., T]."""
+    win_length = win_length or n_fft
+    if window is None:
+        window = sqrt_hann_window(win_length)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+
+    squeeze = spec_ri.ndim == 3
+    if squeeze:
+        spec_ri = spec_ri[None]
+    # [B, k, n, 2] -> [B, n, k]
+    real = jnp.transpose(spec_ri[..., 0], (0, 2, 1))
+    imag = jnp.transpose(spec_ri[..., 1], (0, 2, 1))
+    ci_r, ci_i = _idft_matrices(n_fft)
+    frames = (
+        jnp.einsum("bnk,kt->bnt", real, jnp.asarray(ci_r),
+                   precision=jax.lax.Precision.HIGHEST)
+        + jnp.einsum("bnk,kt->bnt", imag, jnp.asarray(ci_i),
+                     precision=jax.lax.Precision.HIGHEST)
+    )
+    frames = frames * window[None, None, :]
+    y = overlap_add(frames, hop)
+    wsq = overlap_add(
+        jnp.broadcast_to((window * window)[None, None, :], frames.shape), hop
+    )
+    y = y / jnp.maximum(wsq, 1e-11)
+    if center:
+        pad = n_fft // 2
+        y = y[:, pad:]
+        y = y[:, :length] if length is not None else y[:, : y.shape[1] - pad]
+    elif length is not None:
+        y = y[:, :length]
+    return y[0] if squeeze else y
+
+
 def spec_as_real(spec: jax.Array) -> jax.Array:
     """complex [..., F, T] -> real [..., F, T, 2] (torch.view_as_real layout,
     the GTCRN input contract at ``gtcrn.py:292-296``)."""

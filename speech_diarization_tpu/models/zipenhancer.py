@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..dsp.stft import istft, sqrt_hann_window, stft
+from ..dsp.stft import istft_ri, sqrt_hann_window, stft_ri
 from .layers import conv2d_torch, conv_transpose2d_torch
 
 Params = dict[str, Any]
@@ -124,14 +124,17 @@ class ZipEnhancerModel:
 
     # ------------------------------------------------------------ apply -----
     def apply(self, p: Params, wavs: jax.Array) -> jax.Array:
+        # real-pair spectra throughout: no complex HLOs, no angle/atan2 —
+        # phases are carried as unit (cos, sin) pairs
         l = wavs.shape[-1]
         win = sqrt_hann_window(self.n_fft)
-        spec = stft(wavs, self.n_fft, self.hop, window=win)  # [B, F, T]
-        mag = jnp.abs(spec)
-        phase = jnp.angle(spec)
+        spec = stft_ri(wavs, self.n_fft, self.hop, window=win)  # [B, F, T, 2]
+        re, im = spec[..., 0], spec[..., 1]
+        mag = jnp.sqrt(re * re + im * im + 1e-12)
+        cosp, sinp = re / mag, im / mag
         mag_c = jnp.power(mag + 1e-9, self.compress)
 
-        x = jnp.stack([mag_c * jnp.cos(phase), mag_c * jnp.sin(phase)], axis=1)
+        x = jnp.stack([mag_c * cosp, mag_c * sinp], axis=1)
         x = jnp.transpose(x, (0, 1, 3, 2))  # [B, 2, T, F]
         x = jax.nn.gelu(conv2d_torch(x, p["enc.conv1.weight"], p["enc.conv1.bias"],
                                      padding=(1, 1)))
@@ -168,9 +171,11 @@ class ZipEnhancerModel:
         ph = jax.nn.gelu(ph)
         pr = conv2d_torch(ph, p["phase.out_r.weight"], p["phase.out_r.bias"])[:, 0]
         pi = conv2d_torch(ph, p["phase.out_i.weight"], p["phase.out_i.bias"])[:, 0]
-        phase_out = jnp.arctan2(pi, pr)  # [B, T, F]
+        norm = jnp.sqrt(pr * pr + pi * pi + 1e-8)
+        cos_out = jnp.transpose(pr / norm, (0, 2, 1))  # [B, F, T]
+        sin_out = jnp.transpose(pi / norm, (0, 2, 1))
 
         mag_enh = jnp.power(jnp.clip(mag_c * jnp.transpose(mask, (0, 2, 1)), 1e-9),
                             1.0 / self.compress)
-        spec_enh = mag_enh * jnp.exp(1j * jnp.transpose(phase_out, (0, 2, 1)))
-        return istft(spec_enh, self.n_fft, self.hop, window=win, length=l)
+        spec_enh = jnp.stack([mag_enh * cos_out, mag_enh * sin_out], axis=-1)
+        return istft_ri(spec_enh, self.n_fft, self.hop, window=win, length=l)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..dsp.framing import frame_signal, num_frames
 from ..dsp.ola import ola_normalization, overlap_add
-from ..dsp.stft import hann_window, istft, real_as_spec, spec_as_real, sqrt_hann_window, stft
+from ..dsp.stft import hann_window, istft_ri, sqrt_hann_window, stft_ri
 from ..models.gtcrn import GTCRN, Params
 from ..utils.logging import get_logger
 
@@ -55,10 +55,11 @@ class GtcrnEnhancer:
         self._forward = jax.jit(self._forward_impl)
 
     def _forward_impl(self, wavs: jax.Array) -> jax.Array:
-        """[B, T] -> [B, T]: STFT(sqrt-Hann, center) → GTCRN → iSTFT."""
-        spec = stft(wavs, self.n_fft, self.hop)
-        enh = self.net.apply(self.params, spec_as_real(spec))
-        return istft(real_as_spec(enh), self.n_fft, self.hop, length=wavs.shape[-1])
+        """[B, T] -> [B, T]: STFT(sqrt-Hann, center) → GTCRN → iSTFT.
+        Real-pair spectra throughout — no complex HLOs."""
+        spec = stft_ri(wavs, self.n_fft, self.hop)
+        enh = self.net.apply(self.params, spec)
+        return istft_ri(enh, self.n_fft, self.hop, length=wavs.shape[-1])
 
     def __call__(self, y: jax.Array | np.ndarray) -> np.ndarray:
         """Enhance a [T] waveform of any length (host in/out)."""

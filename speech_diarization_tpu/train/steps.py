@@ -110,7 +110,7 @@ def make_gtcrn_train_step(
 ):
     """Sharded GTCRN enhancement training: noisy/clean waveform pairs
     dp-sharded, SI-SNR objective through STFT→net→iSTFT."""
-    from ..dsp.stft import istft, real_as_spec, spec_as_real, stft
+    from ..dsp.stft import istft_ri, stft_ri
 
     optimizer = optimizer or optax.adamw(1e-3)
     net = GTCRN()
@@ -122,9 +122,9 @@ def make_gtcrn_train_step(
         return TrainState(params, optimizer.init(params), 0)
 
     def loss_fn(params, noisy, clean):
-        spec = stft(noisy, n_fft, hop)  # [B, F, T]
-        enh = net.apply(params, spec_as_real(spec))
-        wav = istft(real_as_spec(enh), n_fft, hop, length=noisy.shape[-1])
+        spec = stft_ri(noisy, n_fft, hop)  # [B, F, T, 2]
+        enh = net.apply(params, spec)
+        wav = istft_ri(enh, n_fft, hop, length=noisy.shape[-1])
         return si_snr_loss(wav, clean)
 
     def step_fn(state: TrainState, noisy, clean):
