@@ -14,6 +14,7 @@ import json
 import sys
 import time
 from functools import partial
+from pathlib import Path
 
 import numpy as np
 
@@ -62,7 +63,13 @@ def main() -> None:
     encode_fn = jax.jit(partial(ecapa.encode_batch, ecapa_params))
 
     vad = VadModel()
-    vad_params = vad.init(jax.random.PRNGKey(1))
+    weights = Path(__file__).resolve().parent / "weights" / "vad_synthetic.npz"
+    if weights.exists():
+        from speech_diarization_tpu.train.recipes import load_vad_weights
+
+        vad_params = load_vad_weights(weights)
+    else:
+        vad_params = vad.init(jax.random.PRNGKey(1))
     vad_probs_fn = jax.jit(partial(vad.probs, vad_params))
 
     cfg = DiarizationConfig(cluster=ClusterConfig(method="spectral", max_speakers=8))

@@ -97,11 +97,15 @@ def build_pipeline_kwargs(args: argparse.Namespace) -> dict:
                                 sample_rate=args.sample_rate)
     kwargs["encode_fn"] = encode_fn
     if args.vad_backend == "neural":
-        from .models.port import load_params_npz
         from .models.vad import VadModel
+        from .train.recipes import load_vad_weights
 
         model = VadModel(sample_rate=args.sample_rate)
-        params = (load_params_npz(args.vad_weights) if args.vad_weights
+        weights = args.vad_weights
+        if weights is None:
+            shipped = Path(__file__).resolve().parents[1] / "weights" / "vad_synthetic.npz"
+            weights = str(shipped) if shipped.exists() else None
+        params = (load_vad_weights(weights) if weights
                   else model.init(jax.random.PRNGKey(1)))
         kwargs["vad_probs_fn"] = jax.jit(partial(model.probs, params))
     return kwargs
