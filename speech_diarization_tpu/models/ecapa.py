@@ -42,7 +42,8 @@ def _conv_bn_init(key, c_in, c_out, k) -> Params:
 
 def _conv_bn_apply(p: Params, x: jax.Array, dilation: int = 1, padding: int = 0,
                    groups: int = 1, act: bool = True, train: bool = False) -> jax.Array:
-    x = conv1d_torch(x, p["w"], p["b"], padding=padding, dilation=dilation, groups=groups)
+    x = conv1d_torch(x, p["w"].astype(x.dtype), p["b"].astype(x.dtype),
+                     padding=padding, dilation=dilation, groups=groups)
     if train:
         # batch statistics over (batch, time); under a dp-sharded jit XLA
         # turns these reductions into cross-chip collectives automatically
@@ -136,9 +137,10 @@ class EcapaTdnn:
         y = jnp.concatenate(outs, axis=1)
         y = _conv_bn_apply(p["conv2"], y, padding=0, train=train)
         # squeeze-excitation
+        dt = y.dtype
         zm = jnp.mean(y, axis=2, keepdims=True)  # [B, C, 1]
-        z = jax.nn.relu(conv1d_torch(zm, p["se_w1"], p["se_b1"]))
-        z = jax.nn.sigmoid(conv1d_torch(z, p["se_w2"], p["se_b2"]))
+        z = jax.nn.relu(conv1d_torch(zm, p["se_w1"].astype(dt), p["se_b1"].astype(dt)))
+        z = jax.nn.sigmoid(conv1d_torch(z, p["se_w2"].astype(dt), p["se_b2"].astype(dt)))
         return residual + y * z
 
     def apply(self, params: Params, feats: jax.Array, train: bool = False) -> jax.Array:
@@ -161,8 +163,11 @@ class EcapaTdnn:
             [x32, jnp.broadcast_to(mu_g, x32.shape), jnp.broadcast_to(sd_g, x32.shape)],
             axis=1,
         ).astype(self.dtype)
-        a = jnp.tanh(conv1d_torch(ctx, params["att_w1"], params["att_b1"]))
-        a = conv1d_torch(a, params["att_w2"], params["att_b2"]).astype(jnp.float32)
+        dt = self.dtype
+        a = jnp.tanh(conv1d_torch(ctx, params["att_w1"].astype(dt),
+                                  params["att_b1"].astype(dt)))
+        a = conv1d_torch(a, params["att_w2"].astype(dt),
+                         params["att_b2"].astype(dt)).astype(jnp.float32)
         a = jax.nn.softmax(a, axis=2)  # [B, CC, T]
         mu = jnp.sum(a * x32, axis=2)
         var = jnp.sum(a * x32 * x32, axis=2) - mu * mu

@@ -133,7 +133,8 @@ def batch_norm_apply(
     shape[channel_axis] = x.shape[channel_axis]
     scale = (gamma / jnp.sqrt(var + eps)).reshape(shape)
     shift = (beta - mean * gamma / jnp.sqrt(var + eps)).reshape(shape)
-    return x * scale + shift
+    # keep the activation dtype (bf16 stays bf16; scale/shift are f32-derived)
+    return x * scale.astype(x.dtype) + shift.astype(x.dtype)
 
 
 def prelu(x: jax.Array, alpha: jax.Array, channel_axis: int = 1) -> jax.Array:
