@@ -48,22 +48,29 @@ def embed_windows(
 ) -> np.ndarray:
     """Embed every window of the dense grid: [T] -> [n_windows, D].
 
-    Windows are framed on device and pushed through ``encode_fn`` in
-    fixed-size batches (final batch zero-padded) so a single compiled
-    program serves any file length.
+    Per batch, only the covering waveform span is sliced (on device) and
+    framed just-in-time — the full [W, win] frame tensor (a win/hop-fold
+    blow-up of the waveform, ~384 MB for an hour of 1 s/100 ms windows) is
+    never materialized in HBM.  Every batch shares one compiled shape, so a
+    single program serves any file length.
     """
+    import jax
+
     win = int(round(win_s * sr))
     hop = int(round(hop_s * sr))
-    frames = frame_signal(y, win, hop, pad_tail=True)  # [W, win]
-    w = frames.shape[0]
-    outs = []
-    for i in range(0, w, batch):
-        chunk = frames[i : i + batch]
-        if chunk.shape[0] < batch:
-            chunk = jnp.pad(chunk, ((0, batch - chunk.shape[0]), (0, 0)))
-        outs.append(np.asarray(encode_fn(chunk)))
-    if not outs:
+    w = num_frames(y.shape[-1], win, hop, pad_tail=True)
+    if w == 0:
         return np.zeros((0, 1), dtype=np.float32)
+    span = (batch - 1) * hop + win
+    n_batches = -(-w // batch)
+    needed = (n_batches - 1) * batch * hop + span
+    y_pad = jnp.pad(jnp.asarray(y), (0, max(0, needed - y.shape[-1])))
+
+    outs = []
+    for i in range(n_batches):
+        seg = jax.lax.dynamic_slice_in_dim(y_pad, i * batch * hop, span)
+        frames = frame_signal(seg, win, hop, pad_tail=False)  # [batch, win]
+        outs.append(np.asarray(encode_fn(frames)))
     embs = np.concatenate(outs, axis=0)[:w]
     return embs
 
