@@ -56,9 +56,12 @@ def main() -> None:
     from speech_diarization_tpu.pipelines.diarize import DiarizationPipeline
 
     dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
+    print(f"device: {dev} (platform={dev.platform})", file=sys.stderr)
 
-    ecapa = EcapaModel()
+    from speech_diarization_tpu.models.ecapa import EcapaTdnn
+
+    # bf16 matmuls, f32 pooling/stats (fidelity tested in tests/test_bf16.py)
+    ecapa = EcapaModel(EcapaTdnn(dtype=jnp.bfloat16))
     ecapa_params = ecapa.init(jax.random.PRNGKey(0))
     encode_fn = jax.jit(partial(ecapa.encode_batch, ecapa_params))
 

@@ -1,0 +1,105 @@
+"""Quality-gate integration tests: trained neural VAD end-to-end DER, speaker
+encoder learnability, JER metric."""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech_diarization_tpu.config import AudioConfig, ClusterConfig, DiarizationConfig
+from speech_diarization_tpu.metrics import diarization_error_rate, jaccard_error_rate
+from speech_diarization_tpu.pipelines.diarize import DiarizationPipeline
+from speech_diarization_tpu.types import SegmentArray
+
+WEIGHTS = Path(__file__).resolve().parents[1] / "weights" / "vad_synthetic.npz"
+
+
+def _fake_encoder(wavs):
+    w = np.asarray(wavs)
+    spec = np.abs(np.fft.rfft(w, axis=1))
+    bands = np.array_split(np.arange(spec.shape[1]), 16)
+    feats = np.stack([spec[:, b].mean(axis=1) for b in bands], axis=1)
+    feats = feats / (np.linalg.norm(feats, axis=1, keepdims=True) + 1e-8)
+    return jnp.asarray(feats.astype(np.float32))
+
+
+def synth_conv_speechlike(turns, sr=16000, gap_s=0.6, seed=0):
+    """Conversation of synthetic speech-like turns (harmonic, modulated) —
+    harder than pure tones, matches the VAD's training domain."""
+    from speech_diarization_tpu.train.synthetic import make_speaker_bank, synth_speech_like
+
+    g = np.random.default_rng(seed)
+    bank = make_speaker_bank(np.random.default_rng(42), 4)
+    parts, starts, ends, spks = [], [], [], []
+    t0 = 0.0
+    for spk, dur in turns:
+        parts.append(np.zeros(int(gap_s * sr), np.float32))
+        t0 += gap_s
+        prof = bank[spk]
+        sig = synth_speech_like(g, dur, sr, f0=prof["f0"], formants=prof["formants"])
+        parts.append(sig + 0.003 * g.standard_normal(len(sig)).astype(np.float32))
+        starts.append(t0)
+        ends.append(t0 + len(sig) / sr)
+        spks.append(spk)
+        t0 += len(sig) / sr
+    parts.append(np.zeros(int(gap_s * sr), np.float32))
+    return np.concatenate(parts), SegmentArray(
+        np.array(starts), np.array(ends), np.array(spks, dtype=np.int32))
+
+
+class TestNeuralVadEndToEnd:
+    def test_der_with_trained_vad(self):
+        from functools import partial
+
+        from speech_diarization_tpu.models.vad import VadModel
+        from speech_diarization_tpu.train.recipes import load_vad_weights
+
+        wave, truth = synth_conv_speechlike(
+            [(0, 3.0), (1, 2.5), (0, 2.5), (1, 3.0)])
+        model = VadModel()
+        params = load_vad_weights(WEIGHTS)
+        vad_fn = jax.jit(partial(model.probs, params))
+        # speech-like signals share broadband structure, so the fake band
+        # encoder's cross-speaker cosine sits ~0.92 (vs ~0.998 within) —
+        # cut the AHC dendrogram between the two
+        cfg = DiarizationConfig(
+            audio=AudioConfig(target_lufs=None, preemphasis=None),
+            cluster=ClusterConfig(method="ahc", cos_threshold=0.96),
+        )
+        pipe = DiarizationPipeline(cfg, encode_fn=_fake_encoder, vad_probs_fn=vad_fn)
+        result = pipe((wave, 16000))
+        assert result.num_speakers == 2
+        der = diarization_error_rate(truth, result.segments, collar_s=0.25)
+        assert der.der < 0.2, str(der)
+
+
+class TestSpeakerTraining:
+    def test_encoder_learns_synthetic_speakers(self):
+        from speech_diarization_tpu.train.recipes import train_speaker_encoder_synthetic
+
+        _, metrics = train_speaker_encoder_synthetic(
+            steps=40, batch=8, n_speakers=4)
+        assert metrics["loss"][-1] < metrics["loss"][0]
+        assert metrics["probe_purity"] > 0.7
+
+
+class TestJer:
+    def test_perfect_is_zero(self):
+        truth = SegmentArray(np.array([0.0, 5.0]), np.array([4.0, 9.0]),
+                             np.array([0, 1]))
+        assert jaccard_error_rate(truth, truth) < 1e-9
+
+    def test_half_coverage(self):
+        truth = SegmentArray(np.array([0.0]), np.array([10.0]), np.array([0]))
+        hyp = SegmentArray(np.array([0.0]), np.array([5.0]), np.array([0]))
+        jer = jaccard_error_rate(truth, hyp)
+        assert abs(jer - 0.5) < 0.01
+
+    def test_missing_speaker(self):
+        truth = SegmentArray(np.array([0.0, 5.0]), np.array([4.0, 9.0]),
+                             np.array([0, 1]))
+        hyp = SegmentArray(np.array([0.0]), np.array([4.0]), np.array([0]))
+        jer = jaccard_error_rate(truth, hyp)
+        assert 0.45 < jer < 0.55  # one perfect, one fully missed
