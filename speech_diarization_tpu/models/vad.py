@@ -122,14 +122,18 @@ def energy_vad_probs(
 
     win = int(sample_rate * win_ms / 1000.0)
     hop = int(sample_rate * hop_ms / 1000.0)
-    frames = frame_signal(y, win, hop)
+    frames = frame_signal(y, win, hop)  # [.., n, win]
     rms_db = 10.0 * jnp.log10(jnp.mean(frames * frames, axis=-1) + 1e-10)
     rms_db = jnp.maximum(rms_db, floor_db)
     # sort-free noise-floor estimate (percentile would need a sort lowering,
-    # missing on the axon TPU backend): mean of the below-average frames
-    mean_db = jnp.mean(rms_db)
+    # missing on the axon TPU backend): mean of the below-average frames,
+    # computed per utterance when batched
+    mean_db = jnp.mean(rms_db, axis=-1, keepdims=True)
     low = rms_db <= mean_db
-    noise_floor = jnp.sum(jnp.where(low, rms_db, 0.0)) / jnp.maximum(jnp.sum(low), 1)
+    noise_floor = (
+        jnp.sum(jnp.where(low, rms_db, 0.0), axis=-1, keepdims=True)
+        / jnp.maximum(jnp.sum(low, axis=-1, keepdims=True), 1)
+    )
     lo = jnp.maximum(noise_floor + 9.0, floor_db + 3.0)
     z = (rms_db - lo) / (dynamic_range_db / 10.0)
     return jax.nn.sigmoid(z)

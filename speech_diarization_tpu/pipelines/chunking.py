@@ -17,6 +17,7 @@ from typing import Callable
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 
@@ -28,13 +29,16 @@ def chunked_framewise(
     chunk_s: float = 30.0,
     overlap_s: float = 1.0,
     frames_per_chunk_extra: int = 1,
+    group: int = 4,
 ) -> np.ndarray:
-    """Apply a framewise model ``fn: [T_chunk] -> [F_chunk]`` over a long
-    waveform with constant chunk shape.
+    """Apply a framewise model over a long waveform with constant shapes.
 
-    ``fn`` must produce ``chunk_samples // frame_hop + frames_per_chunk_extra``
-    frames at hop ``frame_hop`` (the center=True STFT convention).  Returns the
-    stitched [n_frames_total] array with
+    ``fn`` maps [..., T_chunk] -> [..., F_chunk] with
+    ``F_chunk = chunk_samples // frame_hop + frames_per_chunk_extra`` (the
+    center=True STFT convention) and must accept a leading batch dimension:
+    chunks are evaluated ``group`` at a time in ONE dispatch (a [G, T_chunk]
+    batch keeps the MXU wide and amortizes tunnel/dispatch latency).  Returns
+    the stitched [n_frames_total] array with
     ``n_frames_total = len(y) // frame_hop + frames_per_chunk_extra``.
     """
     t = int(np.asarray(y).shape[-1])
@@ -49,7 +53,7 @@ def chunked_framewise(
     yj = jnp.asarray(y)
     if t <= chunk:
         padded = jnp.pad(yj, (0, chunk - t))
-        out = np.asarray(fn(padded))
+        out = np.asarray(fn(padded[None])[0])
         return out[:n_frames_total]
 
     n_chunks = int(np.ceil((t - chunk) / hop_samples)) + 1
@@ -59,11 +63,19 @@ def chunked_framewise(
 
     out = np.zeros(n_frames_total, dtype=np.float32)
     overlap_frames = frames_per_chunk - chunk_hop_frames
-    for k in range(n_chunks):
-        seg = jnp.asarray(yj[k * hop_samples : k * hop_samples + chunk])
-        probs = np.asarray(fn(seg))
-        lo = 0 if k == 0 else overlap_frames
-        g0 = k * chunk_hop_frames + lo
-        g1 = min(g0 + (frames_per_chunk - lo), n_frames_total)
-        out[g0:g1] = probs[lo : lo + (g1 - g0)]
+    for g0_chunk in range(0, n_chunks, group):
+        g1_chunk = min(g0_chunk + group, n_chunks)
+        # [G, chunk] view via shifted slices (chunks overlap by overlap_s)
+        segs = jnp.stack([
+            jax.lax.dynamic_slice_in_dim(yj, k * hop_samples, chunk)
+            for k in range(g0_chunk, g1_chunk)
+        ])
+        if segs.shape[0] < group:
+            segs = jnp.pad(segs, ((0, group - segs.shape[0]), (0, 0)))
+        probs_g = np.asarray(fn(segs))
+        for j, k in enumerate(range(g0_chunk, g1_chunk)):
+            lo = 0 if k == 0 else overlap_frames
+            a = k * chunk_hop_frames + lo
+            b = min(a + (frames_per_chunk - lo), n_frames_total)
+            out[a:b] = probs_g[j, lo : lo + (b - a)]
     return out
