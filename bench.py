@@ -47,6 +47,10 @@ def synth_audio(duration_s: float, seed: int = 0) -> np.ndarray:
 
 
 def main() -> None:
+    import os
+
+    os.environ.setdefault("SDTPU_LOG_LEVEL", "INFO")  # stage timings -> stderr
+
     import jax
     import jax.numpy as jnp
 

@@ -102,6 +102,19 @@ class DiarizationPipeline:
                 )
             )
         self.vad_probs_fn = vad_probs_fn
+        if enhance_fn is None and self.cfg.enhance.enabled:
+            # the enhancement-before-diarization stage the reference left
+            # commented out (diarization_baseline.py:333-338) — first-class here
+            from .enhance import make_enhance_fn
+
+            e = self.cfg.enhance
+            kwargs = (
+                {"chunk_s": e.chunk_s, "overlap_s": e.overlap_s}
+                if e.backend == "gtcrn"
+                else {"window_s": e.window_s, "hop_ratio": e.hop_ratio,
+                      "batch_size": e.batch_size}
+            )
+            enhance_fn = make_enhance_fn(e.backend, **kwargs)
         self.enhance_fn = enhance_fn
 
     # ------------------------------------------------------------------ io --
