@@ -30,6 +30,7 @@ def chunked_framewise(
     overlap_s: float = 1.0,
     frames_per_chunk_extra: int = 1,
     group: int = 4,
+    edge_margin_frames: int = 25,
 ) -> np.ndarray:
     """Apply a framewise model over a long waveform with constant shapes.
 
@@ -63,6 +64,10 @@ def chunked_framewise(
 
     out = np.zeros(n_frames_total, dtype=np.float32)
     overlap_frames = frames_per_chunk - chunk_hop_frames
+    # A chunk's last few frames see reflect-padded context instead of the true
+    # signal; sacrifice `m` edge frames to the next chunk, whose copies have
+    # real context (and overlap-m frames of left warmup for causal models).
+    m = min(edge_margin_frames, max(overlap_frames - 1, 0))
     for g0_chunk in range(0, n_chunks, group):
         g1_chunk = min(g0_chunk + group, n_chunks)
         # [G, chunk] view via shifted slices (chunks overlap by overlap_s)
@@ -74,8 +79,9 @@ def chunked_framewise(
             segs = jnp.pad(segs, ((0, group - segs.shape[0]), (0, 0)))
         probs_g = np.asarray(fn(segs))
         for j, k in enumerate(range(g0_chunk, g1_chunk)):
-            lo = 0 if k == 0 else overlap_frames
+            lo = 0 if k == 0 else overlap_frames - m
+            hi = frames_per_chunk if k == n_chunks - 1 else frames_per_chunk - m
             a = k * chunk_hop_frames + lo
-            b = min(a + (frames_per_chunk - lo), n_frames_total)
+            b = min(a + (hi - lo), n_frames_total)
             out[a:b] = probs_g[j, lo : lo + (b - a)]
     return out
