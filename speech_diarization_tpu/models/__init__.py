@@ -13,9 +13,14 @@ from .layers import (
     gru_sequence,
     GRUParams,
 )
-from .vad import VadNet, VadModel
+from .vad import VadNet, VadModel, energy_vad_probs
 from .ecapa import EcapaTdnn, EcapaModel
+from .eres2netv2 import ERes2NetV2, ERes2NetV2Model
+from .campp import CamPlusPlus, CamPlusPlusModel
 from .gtcrn import GTCRN, gtcrn_init_params
+from .zipenhancer import ZipEnhancerModel
+from .demix import DialogDemixer
+from .registry import make_encoder, BACKENDS
 
 __all__ = [
     "conv1d_torch",
@@ -27,8 +32,17 @@ __all__ = [
     "GRUParams",
     "VadNet",
     "VadModel",
+    "energy_vad_probs",
     "EcapaTdnn",
     "EcapaModel",
+    "ERes2NetV2",
+    "ERes2NetV2Model",
+    "CamPlusPlus",
+    "CamPlusPlusModel",
     "GTCRN",
     "gtcrn_init_params",
+    "ZipEnhancerModel",
+    "DialogDemixer",
+    "make_encoder",
+    "BACKENDS",
 ]
