@@ -11,7 +11,6 @@ the shared polyphase filter (``dsp/resample.py``).
 from __future__ import annotations
 
 import shutil
-import struct
 import subprocess
 import wave
 from pathlib import Path

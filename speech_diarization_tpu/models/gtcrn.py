@@ -22,7 +22,7 @@ Design choices for TPU:
 """
 from __future__ import annotations
 
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp

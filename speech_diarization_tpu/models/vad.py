@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..dsp.mel import log_mel_spectrogram
-from .layers import GRUParams, conv1d_torch, gru_init, gru_sequence
+from .layers import conv1d_torch, gru_init, gru_sequence
 
 Params = dict[str, Any]
 

@@ -26,7 +26,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...dsp.framing import num_frames
+
 from ...dsp.mel import _mel_filterbank_np
 from ...dsp.stft import _dft_matrices
 

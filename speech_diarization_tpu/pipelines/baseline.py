@@ -17,9 +17,8 @@ from __future__ import annotations
 
 from pathlib import Path
 
-import numpy as np
 
-from ..config import DiarizationConfig, ClusterConfig, StemsConfig
+from ..config import DiarizationConfig, ClusterConfig
 from ..io.audio import read_audio
 from ..io.stems import extract_speaker_stems
 from ..io.walk import expand_audios

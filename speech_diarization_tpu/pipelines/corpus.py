@@ -27,7 +27,7 @@ import jax
 
 from ..config import DiarizationConfig
 from ..io.writers import write_rttm
-from ..types import SegmentArray
+
 from ..utils.logging import get_logger
 from .diarize import DiarizationPipeline
 

@@ -73,9 +73,8 @@ def diagnose(
     pipe = DiarizationPipeline(cfg, **pipeline_kwargs)
     result = pipe(source, collect_diagnostics=True)
     segs = result.vad_segments
-    embs = np.asarray(result.diagnostics["segment_embeddings"], dtype=np.float32)
     # the diagnostic pipeline embeds VAD segments directly (no SCD), so
-    # re-derive embeddings for the VAD segmentation from the grid
+    # derive embeddings for the VAD segmentation from the shared grid
     from ..segment.embed import segment_embeddings_from_grid
 
     embs = segment_embeddings_from_grid(
