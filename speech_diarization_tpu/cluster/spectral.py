@@ -149,6 +149,10 @@ def spectral_cluster(
         # is meaningless; fall back to single-linkage-free trivial answer
         max_speakers = max(min(n - 1, max_speakers), 1)
 
+    # keep at least ~4 unique neighbors per row after refinement: for short
+    # files (few segments) a fixed 90th percentile would isolate every point
+    p_percentile = round(min(p_percentile, max(0.0, 1.0 - 4.0 / n)), 2)
+
     n_pad = max(pad_to, int(np.ceil(n / pad_to)) * pad_to)
     idx = np.arange(n_pad) % n
     padded = embs[idx]
