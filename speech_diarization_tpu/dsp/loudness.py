@@ -71,13 +71,18 @@ def _k_fir_taps(fs: int) -> np.ndarray:
     return h.astype(np.float32)
 
 
-def k_weight(y: jax.Array, fs: int) -> jax.Array:
-    """Apply the K-weighting cascade to [T] as a causal FIR convolution.
+def k_weight(y: jax.Array, fs: int, mode: str = "scan") -> jax.Array:
+    """Apply the K-weighting cascade to [T].
 
-    The truncated impulse response matches the exact IIR to ~1e-5; a plain
-    strided conv keeps this on the TPU conv units (no FFT dependency — the
-    experimental axon backend has no FFT lowering).
+    ``mode='scan'`` (default): exact IIR via log-depth associative scans
+    (``dsp/iir.py``) — no FFT, no long-kernel conv (both of which the
+    experimental axon TPU backend mishandles).
+    ``mode='fir'``: truncated-impulse-response convolution (~1e-5 error).
     """
+    if mode == "scan":
+        from .iir import sos_scan
+
+        return sos_scan(y, k_weighting_coeffs(float(fs)))
     t = y.shape[-1]
     h = _k_fir_taps(fs)
     squeeze = y.ndim == 1

@@ -165,11 +165,18 @@ class TestResample:
 class TestLoudness:
     def test_k_weight_matches_scipy_lfilter(self):
         y = _sig(SR * 2)
-        out = np.asarray(k_weight(jnp.asarray(y), SR))
         ref = y.astype(np.float64)
         for b, a in k_weighting_coeffs(SR):
             ref = sps.lfilter(b, a, ref)
-        np.testing.assert_allclose(out, ref, atol=1e-3)
+        # scan mode: exact recurrence in f32 — the marginally-stable RLB pole
+        # accumulates ~3e-3 absolute on 0.3-amplitude noise (~0.04 dB loudness)
+        out = np.asarray(k_weight(jnp.asarray(y), SR, mode="scan"))
+        np.testing.assert_allclose(out, ref, atol=6e-3)
+        lufs_err = 10 * abs(np.log10(np.mean(out**2) / np.mean(ref**2)))
+        assert lufs_err < 0.05
+        # fir mode: truncated impulse response, tighter samplewise
+        out_fir = np.asarray(k_weight(jnp.asarray(y), SR, mode="fir"))
+        np.testing.assert_allclose(out_fir, ref, atol=1e-3)
 
     def test_sine_loudness_sanity(self):
         # 997 Hz full-scale sine: BS.1770 says ≈ -3.01 LUFS at unity gain
