@@ -31,7 +31,6 @@ import jax.numpy as jnp
 from .. import cluster as cluster_mod
 from ..config import DiarizationConfig
 from ..dsp.loudness import loudness_normalize
-from ..dsp.preprocess import preprocess_waveform
 from ..io.audio import read_audio
 from ..models.ecapa import EcapaModel
 from ..models.vad import VadModel, energy_vad_probs
@@ -118,18 +117,38 @@ class DiarizationPipeline:
         self.enhance_fn = enhance_fn
 
     # ------------------------------------------------------------------ io --
+    _PAD_BUCKET_S = 60.0  # pad to multiples of this so jit compiles per bucket
+
+    def _preprocess_device(self, y: jnp.ndarray, n_valid: jnp.ndarray, sr: int):
+        """One fused jitted pass: loudness norm + DC + pre-emphasis + clip.
+        ``y`` is zero-padded to a bucket length; zeros don't pass the BS.1770
+        gate (so the gain is unchanged) and the DC mean uses ``n_valid``."""
+        cfg = self.cfg.audio
+        if cfg.target_lufs is not None:
+            y = loudness_normalize(y, sr, cfg.target_lufs)
+        if cfg.remove_dc:
+            y = y - jnp.sum(y) / n_valid
+        if cfg.preemphasis is not None:
+            from ..dsp.preprocess import preemphasis
+
+            y = preemphasis(y, cfg.preemphasis)
+        return jnp.clip(y, -0.99, 0.99)
+
     def load(self, source) -> tuple[jnp.ndarray, int]:
         cfg = self.cfg.audio
         y, sr = read_audio(source, target_sr=cfg.sample_rate, mono=True)
-        yd = jnp.asarray(y)
+        t = y.shape[-1]
+        bucket = int(self._PAD_BUCKET_S * sr)
+        t_pad = max(bucket, -(-t // bucket) * bucket)
+        yd = jnp.asarray(np.pad(y, (0, t_pad - t)))
         if self.enhance_fn is not None:
             yd = self.enhance_fn(yd)
-        if cfg.target_lufs is not None:
-            yd = loudness_normalize(yd, sr, cfg.target_lufs)
-        yd = preprocess_waveform(
-            yd, dc=cfg.remove_dc, preemph=cfg.preemphasis, clip=0.99
-        )
-        return yd, sr
+        if not hasattr(self, "_preprocess_jit"):
+            self._preprocess_jit = jax.jit(
+                self._preprocess_device, static_argnames=("sr",)
+            )
+        yd = self._preprocess_jit(yd, jnp.float32(t), sr)
+        return yd[:t], sr
 
     # ----------------------------------------------------------------- vad --
     def vad_probs(self, y: jnp.ndarray, sr: int) -> np.ndarray:
