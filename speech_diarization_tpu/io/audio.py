@@ -78,24 +78,33 @@ def _read_ffmpeg(path: Path) -> tuple[np.ndarray, int] | None:
     ffprobe = shutil.which("ffprobe")
     if not ffmpeg:
         return None
-    sr = 16000
+    sr, n_ch = 16000, None
     if ffprobe:
         try:
             out = subprocess.run(
                 [ffprobe, "-v", "quiet", "-select_streams", "a:0",
-                 "-show_entries", "stream=sample_rate", "-of", "csv=p=0", str(path)],
+                 "-show_entries", "stream=sample_rate,channels",
+                 "-of", "csv=p=0", str(path)],
                 capture_output=True, text=True, check=True,
             ).stdout.strip()
-            sr = int(out.splitlines()[0])
+            fields = out.splitlines()[0].split(",")
+            sr = int(fields[0])
+            if len(fields) > 1:
+                n_ch = int(fields[1])
         except Exception:
             pass
+    # Without a channel count we cannot deinterleave the raw f32le stream,
+    # so force a mono downmix in ffmpeg itself (-ac 1).
+    ac = ["-ac", str(n_ch)] if n_ch else ["-ac", "1"]
     proc = subprocess.run(
         [ffmpeg, "-v", "quiet", "-i", str(path), "-f", "f32le",
-         "-acodec", "pcm_f32le", "-ar", str(sr), "-"],
+         "-acodec", "pcm_f32le", "-ar", str(sr), *ac, "-"],
         capture_output=True, check=True,
     )
     data = np.frombuffer(proc.stdout, dtype="<f4")
-    return data[None, :], sr
+    ch = n_ch or 1
+    data = data[: (len(data) // ch) * ch]
+    return np.ascontiguousarray(data.reshape(-1, ch).T), sr
 
 
 def read_audio(
