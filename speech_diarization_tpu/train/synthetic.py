@@ -88,6 +88,63 @@ def make_vad_example(
     return wave, labels
 
 
+def make_conversation(
+    rng: np.random.Generator,
+    duration_s: float,
+    n_speakers: int = 3,
+    sr: int = 16000,
+    turn_s: tuple[float, float] = (2.0, 6.0),
+    gap_s: tuple[float, float] = (0.3, 0.8),
+    noise_amp: float = 0.01,
+):
+    """Ground-truthed multi-speaker conversation of speech-like turns.
+
+    Alternating speakers from a fixed (f0, formant) bank with silence gaps —
+    the speech-like analog of the tone conversations in
+    scripts/eval_synthetic.py, suitable for the *neural* VAD (which is
+    trained on synth_speech_like positives, not tones).
+
+    Returns ``(wave [T], (starts, ends, spks) float/int arrays)``.
+    """
+    bank = make_speaker_bank(rng, n_speakers)
+    parts, starts, ends, spks = [], [], [], []
+    t0 = 0.0
+    prev = -1
+    while t0 < duration_s:
+        gap = float(rng.uniform(*gap_s))
+        parts.append(np.zeros(int(gap * sr), np.float32))
+        t0 += gap
+        if t0 >= duration_s:
+            break
+        spk = int(rng.integers(0, n_speakers))
+        if n_speakers > 1 and spk == prev:
+            spk = (spk + 1) % n_speakers
+        prev = spk
+        dur = min(float(rng.uniform(*turn_s)), duration_s - t0)
+        if dur < 0.5:
+            break
+        prof = bank[spk]
+        w = synth_speech_like(
+            rng, dur, sr,
+            f0=prof["f0"] * float(rng.uniform(0.97, 1.03)),
+            formants=prof["formants"],
+        )
+        w = w + noise_amp * rng.standard_normal(len(w)).astype(np.float32)
+        parts.append(w.astype(np.float32))
+        starts.append(t0)
+        ends.append(t0 + len(w) / sr)
+        spks.append(spk)
+        t0 += len(w) / sr
+    wave = np.concatenate(parts) if parts else np.zeros(int(duration_s * sr), np.float32)
+    n = int(duration_s * sr)
+    wave = np.pad(wave[:n], (0, max(0, n - len(wave))))
+    return wave, (
+        np.asarray(starts, np.float64),
+        np.asarray(ends, np.float64),
+        np.asarray(spks, np.int32),
+    )
+
+
 def make_speaker_bank(rng: np.random.Generator, n_speakers: int):
     """Fixed per-speaker (f0, formants) profiles for speaker-ID training."""
     return [
