@@ -17,17 +17,6 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def probe_encoder(wavs):
-    import jax.numpy as jnp
-
-    w = np.asarray(wavs)
-    spec = np.abs(np.fft.rfft(w, axis=1))
-    bands = np.array_split(np.arange(spec.shape[1]), 16)
-    feats = np.stack([spec[:, b].mean(axis=1) for b in bands], axis=1)
-    feats = feats / (np.linalg.norm(feats, axis=1, keepdims=True) + 1e-8)
-    return jnp.asarray(feats.astype(np.float32))
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-files", type=int, default=4)
@@ -41,6 +30,8 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
 
+    import jax.numpy as jnp
+
     from speech_diarization_tpu.config import (
         AudioConfig, ClusterConfig, DiarizationConfig,
     )
@@ -48,43 +39,30 @@ def main() -> None:
         diarization_error_rate, jaccard_error_rate,
     )
     from speech_diarization_tpu.pipelines.diarize import DiarizationPipeline
+    from speech_diarization_tpu.train.synthetic import (
+        make_tone_conversation, spectral_probe_encoder,
+    )
     from speech_diarization_tpu.types import SegmentArray
 
     sr = 16000
-    rng = np.random.default_rng(0)
 
-    def make_file(seed):
-        g = np.random.default_rng(seed)
-        freqs = [180.0, 850.0, 2400.0, 420.0][: args.speakers]
-        parts, starts, ends, spks = [], [], [], []
-        t0 = 0.0
-        for i in range(args.turns):
-            spk = int(g.integers(0, args.speakers))
-            gap = g.uniform(0.4, 0.8)
-            parts.append(np.zeros(int(gap * sr), np.float32))
-            t0 += gap
-            dur = g.uniform(2.0, 4.0)
-            t = np.arange(int(dur * sr)) / sr
-            sig = 0.3 * np.sin(2 * np.pi * freqs[spk] * t) * (
-                1 + 0.2 * np.sin(2 * np.pi * 2.3 * t))
-            parts.append((sig + 0.01 * g.standard_normal(len(t))).astype(np.float32))
-            starts.append(t0)
-            ends.append(t0 + dur)
-            spks.append(spk)
-            t0 += dur
-        parts.append(np.zeros(int(0.5 * sr), np.float32))
-        return np.concatenate(parts), SegmentArray(
-            np.array(starts), np.array(ends), np.array(spks, dtype=np.int32))
+    def encode(wavs):
+        return jnp.asarray(spectral_probe_encoder(wavs))
 
-    files = [make_file(i) for i in range(args.n_files)]
+    files = []
+    for i in range(args.n_files):
+        wave, (starts, ends, spks) = make_tone_conversation(
+            i, n_speakers=args.speakers, turns=args.turns, sr=sr
+        )
+        files.append((wave, SegmentArray(starts, ends, spks)))
 
     print(f"{'method':<10} {'DER%':>7} {'miss%':>7} {'fa%':>7} {'conf%':>7} {'JER%':>7}")
-    for method in ["spectral", "ahc", "hdbscan2"]:
+    for method in ["spectral", "ahc", "hdbscan", "hdbscan2"]:
         cfg = DiarizationConfig(
             audio=AudioConfig(target_lufs=None, preemphasis=None),
             cluster=ClusterConfig(method=method, max_speakers=6),
         )
-        pipe = DiarizationPipeline(cfg, encode_fn=probe_encoder)
+        pipe = DiarizationPipeline(cfg, encode_fn=encode)
         ders, jers = [], []
         for wave, truth in files:
             res = pipe((wave, sr))

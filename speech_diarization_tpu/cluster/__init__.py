@@ -14,7 +14,7 @@ from .affinity import l2_normalize, cosine_affinity, whiten, asnorm_scores
 from .kmeans import kmeans, farthest_point_init
 from .spectral import spectral_cluster, estimate_num_speakers
 from .ahc import ahc_cluster
-from .density import hdbscan_cluster, hdbscan_two_stage
+from .density import hdbscan_cleaned, hdbscan_cluster, hdbscan_two_stage
 
 __all__ = [
     "l2_normalize",
@@ -26,6 +26,7 @@ __all__ = [
     "spectral_cluster",
     "estimate_num_speakers",
     "ahc_cluster",
+    "hdbscan_cleaned",
     "hdbscan_cluster",
     "hdbscan_two_stage",
     "cluster_embeddings",

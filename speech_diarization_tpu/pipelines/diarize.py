@@ -272,9 +272,15 @@ class DiarizationPipeline:
                 min_speakers=c.min_speakers, max_speakers=c.max_speakers,
             )
         elif c.method == "hdbscan":
-            labels = cluster_mod.hdbscan_cluster(embs, min_cluster_size=c.min_cluster_size)
+            labels = cluster_mod.hdbscan_cleaned(
+                embs, min_cluster_size=c.min_cluster_size,
+                centroid_cos_threshold=c.cos_threshold,
+            )
         elif c.method == "hdbscan2":
-            labels = cluster_mod.hdbscan_two_stage(embs, min_cluster_size=c.min_cluster_size)
+            labels = cluster_mod.hdbscan_two_stage(
+                embs, min_cluster_size=c.min_cluster_size,
+                centroid_cos_threshold=c.cos_threshold,
+            )
         else:
             raise ValueError(f"unknown cluster method {c.method}")
         if (labels < 0).all():
