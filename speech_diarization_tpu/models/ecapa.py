@@ -42,18 +42,25 @@ def _conv_bn_init(key, c_in, c_out, k) -> Params:
 
 def _conv_bn_apply(p: Params, x: jax.Array, dilation: int = 1, padding: int = 0,
                    groups: int = 1, act: bool = True, train: bool = False) -> jax.Array:
+    """SpeechBrain TDNNBlock semantics: conv (reflect "same" padding) →
+    activation → BatchNorm.  The activation-before-norm order and the reflect
+    padding both matter for checkpoint parity (speechbrain.nnet.CNN.Conv1d
+    defaults to padding_mode="reflect"; TDNNBlock.forward is
+    norm(activation(conv(x)))."""
+    if padding > 0:
+        x = jnp.pad(x, ((0, 0), (0, 0), (padding, padding)), mode="reflect")
     x = conv1d_torch(x, p["w"].astype(x.dtype), p["b"].astype(x.dtype),
-                     padding=padding, dilation=dilation, groups=groups)
+                     padding=0, dilation=dilation, groups=groups)
+    if act:
+        x = jax.nn.relu(x)
     if train:
         # batch statistics over (batch, time); under a dp-sharded jit XLA
         # turns these reductions into cross-chip collectives automatically
         axes = (0,) + tuple(range(2, x.ndim))
         mean = jnp.mean(x.astype(jnp.float32), axis=axes)
         var = jnp.var(x.astype(jnp.float32), axis=axes)
-        x = batch_norm_apply(x, mean, var, p["bn_gamma"], p["bn_beta"])
-    else:
-        x = batch_norm_apply(x, p["bn_mean"], p["bn_var"], p["bn_gamma"], p["bn_beta"])
-    return jax.nn.relu(x) if act else x
+        return batch_norm_apply(x, mean, var, p["bn_gamma"], p["bn_beta"])
+    return batch_norm_apply(x, p["bn_mean"], p["bn_var"], p["bn_gamma"], p["bn_beta"])
 
 
 class EcapaTdnn:
@@ -105,6 +112,14 @@ class EcapaTdnn:
         cc = self.cat_channels
         params["att_w1"] = he(next(keys), (a, 3 * cc, 1))
         params["att_b1"] = jnp.zeros((a,))
+        # the attention pre-projection is a full TDNNBlock in SpeechBrain
+        # (conv -> ReLU -> BN) — the BN is required for checkpoint parity
+        params["att_bn"] = {
+            "gamma": jnp.ones((a,)),
+            "beta": jnp.zeros((a,)),
+            "mean": jnp.zeros((a,)),
+            "var": jnp.ones((a,)),
+        }
         params["att_w2"] = he(next(keys), (cc, a, 1))
         params["att_b2"] = jnp.zeros((cc,))
         params["post_bn"] = {
@@ -154,24 +169,37 @@ class EcapaTdnn:
         x = jnp.concatenate(block_outs, axis=1)  # [B, 3C, T]
         x = _conv_bn_apply(params["mfa"], x, train=train)
 
-        # attentive statistical pooling with global context
+        # attentive statistical pooling with global context (SpeechBrain
+        # AttentiveStatisticsPooling semantics: eps=1e-12, E[(x-mu)^2] form,
+        # attention pre-projection is a full TDNNBlock conv->ReLU->BN)
+        eps = 1e-12
         x32 = x.astype(jnp.float32)
-        t = x.shape[2]
         mu_g = jnp.mean(x32, axis=2, keepdims=True)
-        sd_g = jnp.sqrt(jnp.clip(jnp.var(x32, axis=2, keepdims=True), 1e-4))
+        sd_g = jnp.sqrt(jnp.clip(
+            jnp.mean((x32 - mu_g) ** 2, axis=2, keepdims=True), eps))
         ctx = jnp.concatenate(
             [x32, jnp.broadcast_to(mu_g, x32.shape), jnp.broadcast_to(sd_g, x32.shape)],
             axis=1,
         ).astype(self.dtype)
         dt = self.dtype
-        a = jnp.tanh(conv1d_torch(ctx, params["att_w1"].astype(dt),
-                                  params["att_b1"].astype(dt)))
+        a = jax.nn.relu(conv1d_torch(ctx, params["att_w1"].astype(dt),
+                                     params["att_b1"].astype(dt)))
+        ab = params["att_bn"]
+        if train:
+            a = batch_norm_apply(
+                a, jnp.mean(a.astype(jnp.float32), axis=(0, 2)),
+                jnp.var(a.astype(jnp.float32), axis=(0, 2)),
+                ab["gamma"], ab["beta"],
+            )
+        else:
+            a = batch_norm_apply(a, ab["mean"], ab["var"], ab["gamma"], ab["beta"])
+        a = jnp.tanh(a)
         a = conv1d_torch(a, params["att_w2"].astype(dt),
                          params["att_b2"].astype(dt)).astype(jnp.float32)
         a = jax.nn.softmax(a, axis=2)  # [B, CC, T]
         mu = jnp.sum(a * x32, axis=2)
-        var = jnp.sum(a * x32 * x32, axis=2) - mu * mu
-        sd = jnp.sqrt(jnp.clip(var, 1e-4))
+        sd = jnp.sqrt(jnp.clip(
+            jnp.sum(a * (x32 - mu[:, :, None]) ** 2, axis=2), eps))
         stats = jnp.concatenate([mu, sd], axis=1)  # [B, 2CC]
 
         pb = params["post_bn"]

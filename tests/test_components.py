@@ -22,8 +22,8 @@ class TestAltEmbedders:
     def test_eres2netv2_shapes(self):
         from speech_diarization_tpu.models.eres2netv2 import ERes2NetV2, ERes2NetV2Model
 
-        net = ERes2NetV2(n_mels=40, base_width=8, stage_blocks=(1, 1, 1, 1),
-                         emb_dim=32)
+        net = ERes2NetV2(n_mels=40, m_channels=8, base_width=16, scale=2,
+                         expansion=2, num_blocks=(1, 1, 1, 1), emb_dim=32)
         model = ERes2NetV2Model(net)
         params = model.init(jax.random.PRNGKey(0))
         wavs = jnp.asarray(np.random.default_rng(0)
