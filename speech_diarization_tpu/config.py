@@ -72,7 +72,7 @@ class EmbedConfig:
     grid_hop_s: float = 0.75
     min_duration_ms: float = 500.0    # short segments get context padding
     pad_duration_ms: float = 150.0
-    batch_size: int = 128
+    batch_size: int = 512
     whiten: bool = False              # embedding whitening (diar_diag.py:187-194)
     dtype: str = "bfloat16"           # model compute dtype (f32 accumulation)
 

@@ -86,6 +86,13 @@ class DiarizationPipeline:
         sr = self.cfg.audio.sample_rate
 
         if encode_fn is None:
+            log.warning(
+                "no encode_fn given: falling back to a RANDOM-weight ECAPA — "
+                "speaker labels will be meaningless. Port a checkpoint "
+                "(models/port_ecapa.load_ecapa_speechbrain) or train one "
+                "(train/recipes.train_speaker_encoder_synthetic) and pass "
+                "encode_fn explicitly."
+            )
             model = EcapaModel()
             params = model.init(jax.random.PRNGKey(0))
             encode_fn = jax.jit(partial(model.encode_batch, params))

@@ -180,9 +180,25 @@ def make_enhance_fn(backend: str, params=None, **kwargs) -> Callable:
     ``diarization_baseline.py:333-338`` — first-class here)."""
     if backend == "gtcrn":
         if params is None:
-            from ..models.gtcrn import gtcrn_init_params
+            from pathlib import Path
 
-            params = gtcrn_init_params(jax.random.PRNGKey(0))
+            from ..models.port import load_params_npz
+
+            default = (Path(__file__).resolve().parents[2]
+                       / "weights" / "gtcrn_synthetic.npz")
+            if default.exists():
+                log.info("gtcrn: using shipped synthetic-trained weights %s",
+                         default)
+                params = load_params_npz(default)
+            else:
+                log.warning(
+                    "gtcrn: no weights given and %s missing — using RANDOM "
+                    "weights; 'enhanced' audio will be garbage. Port the DNS3 "
+                    "checkpoint (models/port.load_gtcrn_checkpoint) or train "
+                    "(train/recipes.train_gtcrn_synthetic).", default)
+                from ..models.gtcrn import gtcrn_init_params
+
+                params = gtcrn_init_params(jax.random.PRNGKey(0))
         enhancer = GtcrnEnhancer(params, **kwargs)
         return lambda y: jnp.asarray(enhancer(y))
     if backend == "zipenhancer":
@@ -190,6 +206,11 @@ def make_enhance_fn(backend: str, params=None, **kwargs) -> Callable:
 
         model = ZipEnhancerModel()
         if params is None:
+            log.warning(
+                "zipenhancer: no weights given — using RANDOM weights; "
+                "'enhanced' audio will be garbage. Train via "
+                "train/recipes.train_zipenhancer_synthetic or port a "
+                "checkpoint.")
             params = model.init(jax.random.PRNGKey(0))
         fwd = jax.jit(partial(model.apply, params))
         return lambda y: jnp.asarray(windowed_enhance(fwd, y, **kwargs))

@@ -70,8 +70,10 @@ def embed_windows(
     for i in range(n_batches):
         seg = jax.lax.dynamic_slice_in_dim(y_pad, i * batch * hop, span)
         frames = frame_signal(seg, win, hop, pad_tail=False)  # [batch, win]
-        outs.append(np.asarray(encode_fn(frames)))
-    embs = np.concatenate(outs, axis=0)[:w]
+        # keep results on device: async dispatch lets batch i+1 launch while
+        # batch i computes; one transfer at the end instead of per batch
+        outs.append(encode_fn(frames))
+    embs = np.concatenate([np.asarray(o) for o in outs], axis=0)[:w]
     return embs
 
 

@@ -14,10 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.peaks import find_peaks_zscore
 from ..types import SegmentArray
-
-import jax.numpy as jnp
 
 
 def consecutive_cosine_distance(win_embs: np.ndarray) -> np.ndarray:
@@ -27,6 +24,16 @@ def consecutive_cosine_distance(win_embs: np.ndarray) -> np.ndarray:
     e = win_embs / (np.linalg.norm(win_embs, axis=1, keepdims=True) + 1e-8)
     sims = np.einsum("id,id->i", e[:-1], e[1:])
     return (1.0 - sims).astype(np.float32)
+
+
+def _peaks_zscore_np(d: np.ndarray, z_threshold: float) -> np.ndarray:
+    """Host mirror of ``ops.peaks.find_peaks_zscore`` (same semantics,
+    tested for equality in tests/test_segment.py)."""
+    mu, sd = d.mean(), d.std()
+    z = (d - mu) / max(sd, 1e-6) if sd > 1e-6 else d
+    left = np.concatenate([[np.inf], z[:-1]])
+    right = np.concatenate([z[1:], [np.inf]])
+    return (z > left) & (z > right) & (z >= z_threshold)
 
 
 def scd_split(
@@ -60,10 +67,12 @@ def scd_split(
             out_starts.append(s)
             out_ends.append(e)
             continue
-        # consecutive distances among those windows
+        # consecutive distances among those windows.  NOTE: plain numpy —
+        # per-segment eager jnp calls cost a host<->device round trip each
+        # (~25 ms over the axon tunnel; 174 segments made SCD the slowest
+        # stage of the whole pipeline at 4.6 s/600 s-file)
         d = dists_all[inside[0] : inside[-1]]
-        mask, _ = find_peaks_zscore(jnp.asarray(d), z_threshold)
-        peaks = np.where(np.asarray(mask))[0]
+        peaks = np.where(_peaks_zscore_np(d, z_threshold))[0]
         if peaks.size == 0:
             out_starts.append(s)
             out_ends.append(e)

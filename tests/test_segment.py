@@ -236,3 +236,22 @@ class TestReassign:
                                      starts_s, 1.0, 6.0, hmm=True,
                                      hmm_self_loop=0.9)
         assert len(out) == 2
+
+
+class TestScdHostPeaks:
+    def test_numpy_peaks_match_device_op(self):
+        """scd_split's host peak-picker must equal ops.peaks.find_peaks_zscore
+        (it replaced per-segment eager jnp calls that cost a tunnel round
+        trip each — 4.6 s/file on the axon chip)."""
+        import jax.numpy as jnp
+
+        from speech_diarization_tpu.ops.peaks import find_peaks_zscore
+        from speech_diarization_tpu.segment.scd import _peaks_zscore_np
+
+        g = np.random.default_rng(0)
+        for n in (3, 10, 57):
+            for scale in (1.0, 1e-8):
+                d = (g.standard_normal(n) * scale).astype(np.float32)
+                ref_mask, _ = find_peaks_zscore(jnp.asarray(d), 1.5)
+                np.testing.assert_array_equal(
+                    _peaks_zscore_np(d, 1.5), np.asarray(ref_mask))
