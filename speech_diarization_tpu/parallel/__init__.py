@@ -14,10 +14,13 @@ only parallelism is CUDA batch loops.  Here parallelism is designed in:
     chunk axis of enhancement streaming (``pipelines/enhance.py``), which
     shards over dp the same way.
 """
+from .inference import make_sharded_encode_fn, make_sharded_framewise_fn
 from .mesh import make_mesh, default_mesh_shape
 from .sharding import shard_batch, replicate, batch_spec, param_partition_specs
 
 __all__ = [
+    "make_sharded_encode_fn",
+    "make_sharded_framewise_fn",
     "make_mesh",
     "default_mesh_shape",
     "shard_batch",

@@ -63,6 +63,8 @@ def corpus_diarize(
     devices: Sequence | None = None,
     rttm_dir: str | Path | None = None,
     pipeline_factory=None,
+    encode_model=None,
+    encode_params=None,
     **pipeline_kwargs,
 ) -> CorpusReport:
     """Diarize many files across all available devices.
@@ -70,8 +72,24 @@ def corpus_diarize(
     ``pipeline_factory()`` may be passed to construct per-worker pipelines
     (e.g. with pre-loaded weights); default builds a ``DiarizationPipeline``
     from ``cfg``/``pipeline_kwargs`` per worker.
+
+    When ``encode_model``/``encode_params`` are given AND there are fewer
+    files than devices, each file's window grid is sharded across the whole
+    mesh instead of assigning whole files to single chips.
     """
     devices = list(devices if devices is not None else jax.devices())
+    if (
+        encode_model is not None
+        and len(devices) > 1
+        and len(list(sources)) < len(devices)
+    ):
+        # fewer files than chips: file-parallelism can't fill the mesh, so
+        # shard each file's window grid across ALL chips instead
+        # (parallel/inference.py; SURVEY.md §2.3)
+        return _corpus_diarize_sharded(
+            sources, cfg, devices, rttm_dir, encode_model, encode_params,
+            **pipeline_kwargs,
+        )
     work: queue.Queue = queue.Queue()
     for i, src in enumerate(sources):
         work.put((i, src))
@@ -126,6 +144,57 @@ def corpus_diarize(
         t.join()
     report.wall_s = time.perf_counter() - t0
     log.info("corpus done: %s", report.summary())
+    return report
+
+
+def _corpus_diarize_sharded(
+    sources: Sequence,
+    cfg: DiarizationConfig | None,
+    devices: Sequence,
+    rttm_dir: str | Path | None,
+    encode_model,
+    encode_params,
+    **pipeline_kwargs,
+) -> CorpusReport:
+    """Few files, many chips: one pipeline whose embedding grid is sharded
+    over a dp mesh spanning ``devices``; files processed sequentially."""
+    from ..parallel.inference import make_sharded_encode_fn
+    from ..parallel.mesh import make_mesh
+
+    mesh = make_mesh(devices=devices)
+    encode_fn = make_sharded_encode_fn(encode_model, encode_params, mesh)
+    pipe = DiarizationPipeline(cfg, encode_fn=encode_fn, **pipeline_kwargs)
+    report = CorpusReport(n_devices=len(devices))
+    sr = (cfg or DiarizationConfig()).audio.sample_rate
+
+    t0 = time.perf_counter()
+    for idx, src in enumerate(sources):
+        try:
+            ts = time.perf_counter()
+            result = pipe(src)
+            dt = time.perf_counter() - ts
+            dur = _source_duration(src, result, sr)
+            if rttm_dir is not None and isinstance(src, (str, Path)):
+                out = Path(rttm_dir) / (Path(src).stem + ".rttm")
+                out.parent.mkdir(parents=True, exist_ok=True)
+                write_rttm(out, result.segments, uri=Path(src).stem)
+            report.files.append({
+                "source": str(src) if isinstance(src, (str, Path)) else f"array[{idx}]",
+                "segments": len(result.segments),
+                "speakers": result.num_speakers,
+                "wall_s": round(dt, 3),
+                "audio_s": round(dur, 2),
+                "device": f"sharded[{len(devices)}]",
+            })
+            report.audio_s += dur
+        except Exception as e:
+            report.errors.append({
+                "source": str(src) if isinstance(src, (str, Path)) else f"array[{idx}]",
+                "error": f"{type(e).__name__}: {e}",
+            })
+            log.warning("corpus file failed: %s (%s)", src, e)
+    report.wall_s = time.perf_counter() - t0
+    log.info("corpus (sharded single-file mode) done: %s", report.summary())
     return report
 
 
