@@ -172,6 +172,40 @@ def main() -> None:
     emit(rtf, "600s_full", {"wall_s": round(wall, 3),
                             "rtf_60s_bucket": round(small_rtf, 2)})
 
+    # -- milestone 3 (poison-safe tail): fused-vs-matmul fbank -----------------
+    # Runs AFTER the final result line: if the Pallas compile fails it poisons
+    # the process (utils/backend.py), but the headline JSON is already out.
+    if os.environ.get("SDTPU_BENCH_FBANK", "1") == "1":
+        try:
+            fb = _fbank_micro_bench()
+            log(f"fbank micro-bench: {fb}")
+            emit(rtf, "600s_full", {"wall_s": round(wall, 3),
+                                    "rtf_60s_bucket": round(small_rtf, 2),
+                                    **fb})
+        except Exception as e:  # pragma: no cover
+            log(f"fbank micro-bench failed: {str(e)[:200]}")
+
+
+def _fbank_micro_bench(batch: int = 512, t: int = 16000, iters: int = 5) -> dict:
+    """Time the matmul-DFT vs fused-Pallas log-mel on the embed-grid shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_diarization_tpu.dsp.mel import log_mel_spectrogram
+
+    wavs = jnp.asarray(
+        np.random.default_rng(0).standard_normal((batch, t)).astype(np.float32))
+    out = {}
+    for backend in ("matmul", "fused"):
+        fn = jax.jit(lambda y, b=backend: log_mel_spectrogram(y, backend=b))
+        jax.block_until_ready(fn(wavs))  # compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            jax.block_until_ready(fn(wavs))
+        out[f"fbank_{backend}_ms"] = round(
+            (time.perf_counter() - t0) / iters * 1000.0, 2)
+    return out
+
 
 if __name__ == "__main__":
     main()

@@ -57,6 +57,19 @@ def mel_filterbank(
     return jnp.asarray(_mel_filterbank_np(n_freqs, f_min, f_max, n_mels, sample_rate))
 
 
+def _fbank_backend() -> str:
+    """'matmul' (default) or 'fused' (Pallas kernel, ops/pallas/fused_fbank).
+
+    Resolution: SDTPU_FBANK_BACKEND env overrides; otherwise matmul.  The
+    fused kernel is opt-in until its on-chip timing wins are recorded by the
+    bench (it cannot be try/except'd at runtime — a failed compile poisons
+    the axon process, utils/backend.py).
+    """
+    import os
+
+    return os.environ.get("SDTPU_FBANK_BACKEND", "matmul")
+
+
 def log_mel_spectrogram(
     y: jax.Array,
     sample_rate: int = 16000,
@@ -67,14 +80,29 @@ def log_mel_spectrogram(
     f_max: float | None = None,
     eps: float = 1e-6,
     center: bool = True,
+    backend: str | None = None,
 ) -> jax.Array:
     """[B, T] waveforms -> [B, n_frames, n_mels] log-mel features.
 
     The matmul-DFT power spectrum keeps everything on the MXU; with
     center=True, reflect-pads n_fft//2 per side (torchaudio default).
+    ``backend='fused'`` routes through the Pallas kernel instead
+    (center=True only).
     """
     if y.ndim == 1:
         y = y[None]
+    if (backend or _fbank_backend()) == "fused" and center:
+        import jax as _jax
+
+        from ..ops.pallas.fused_fbank import fused_log_mel
+
+        return fused_log_mel(
+            y, sample_rate=sample_rate, n_mels=n_mels, win_ms=win_ms,
+            hop_ms=hop_ms, f_min=f_min, f_max=f_max, eps=eps,
+            # pallas has no compiled CPU lowering; interpret keeps the gate
+            # testable on the CPU mesh
+            interpret=_jax.default_backend() == "cpu",
+        )
     win = int(sample_rate * win_ms / 1000.0)
     hop = int(sample_rate * hop_ms / 1000.0)
     n_fft = win

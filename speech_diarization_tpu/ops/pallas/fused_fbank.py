@@ -3,18 +3,26 @@
 The log-mel frontend feeds every model in the zoo (SURVEY.md C5), so it is
 the framework's hottest DSP op.  The jnp path (``dsp/mel.py``) materializes
 the [N, 400] frame tensor in HBM (a 2.5x blow-up of the waveform) before the
-DFT matmuls; this kernel instead keeps each block's waveform slice in VMEM,
-builds frames with in-register shifted reshapes, and runs the two DFT matmuls
-plus the mel matmul back-to-back on the MXU, writing only the final
-[N, n_mels] log-mel rows to HBM.  HBM traffic drops from
+DFT matmuls; this kernel instead keeps each block's waveform slice in VMEM
+and runs the DFT + mel matmuls back-to-back on the MXU, writing only the
+final [N, n_mels] log-mel rows to HBM.  HBM traffic drops from
 (1 + 2.5 + 1.26 + 0.5)x to (1 + 0.5)x of the waveform size.
 
-Matrices are lane-padded to multiples of 128 (MXU tiles); padded DFT columns
-are zero so they contribute nothing to the mel projection.
+Mosaic-friendly framing: the waveform is viewed host-side as hop-sized rows
+[B, rows, hop] (frame f starts exactly at row f).  A window of ``win``
+samples spans k = ceil(win/hop) consecutive rows, so the windowed DFT
+factorizes into k MXU dots with row-sliced, zero-padded DFT matrices:
 
-Grid: one program per TILE_N frames.  Each program DMAs its overlapping
-waveform slice HBM→VMEM (blocks overlap by win-hop samples, which BlockSpec
-index maps cannot express — hence the manual async copy).
+    real[f, :] = sum_j (rows[f+j] * window[j*hop:(j+1)*hop]) @ cos[j*hop:(j+1)*hop, :]
+
+— no reshapes or lane concatenations inside the kernel (Mosaic's
+infer-vector-layout rejects [tile*hop] -> [tile, hop] shape casts; this
+formulation needs none).  Matrices are lane-padded to multiples of 128 (MXU
+tiles); padded DFT rows/columns are zero so they contribute nothing.
+
+Grid: (batch, frame blocks).  Each program DMAs its [tile_n + k, hop] row
+slice HBM→VMEM (blocks overlap by k rows, which BlockSpec index maps cannot
+express — hence the manual async copy).
 """
 from __future__ import annotations
 
@@ -36,51 +44,57 @@ def _round_up(x: int, m: int) -> int:
 
 
 @lru_cache(maxsize=8)
-def _padded_matrices(win: int, n_mels: int, sample_rate: int,
+def _padded_matrices(win: int, hop: int, n_mels: int, sample_rate: int,
                      f_min: float, f_max: float):
-    """(window [1, win], cos [win, KP], msin [win, KP], mel [KP, MP])."""
+    """(window [1, k*HP], cos [k*HP, KP], msin [k*HP, KP], mel [KP, MP]) where
+    HP = hop rounded up to the 128-lane tile (Mosaic requires 128-aligned
+    lane extents).  Sample t of stream j lives at padded index j*HP + t;
+    padded positions carry zero window/DFT rows, so they contribute
+    nothing."""
     n_bins = win // 2 + 1
+    k = -(-win // hop)
+    hp = _round_up(hop, 128)
     kp = _round_up(n_bins, 128)
     mp = _round_up(n_mels, 128)
     cos_m, msin_m = _dft_matrices(win)
-    cos_p = np.zeros((win, kp), np.float32)
-    sin_p = np.zeros((win, kp), np.float32)
-    cos_p[:, :n_bins] = cos_m
-    sin_p[:, :n_bins] = msin_m
+    win_fn = (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(win) / win)).astype(np.float32)
+    cos_p = np.zeros((k * hp, kp), np.float32)
+    sin_p = np.zeros((k * hp, kp), np.float32)
+    window = np.zeros((1, k * hp), np.float32)
+    for j in range(k):
+        t0, t1 = j * hop, min((j + 1) * hop, win)
+        cos_p[j * hp : j * hp + (t1 - t0), :n_bins] = cos_m[t0:t1]
+        sin_p[j * hp : j * hp + (t1 - t0), :n_bins] = msin_m[t0:t1]
+        window[0, j * hp : j * hp + (t1 - t0)] = win_fn[t0:t1]
     mel = _mel_filterbank_np(n_bins, f_min, f_max, n_mels, sample_rate)
     mel_p = np.zeros((kp, mp), np.float32)
     mel_p[:n_bins, :n_mels] = mel
-    window = (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(win) / win)).astype(np.float32)
-    return window[None, :], cos_p, sin_p, mel_p
+    return window, cos_p, sin_p, mel_p
 
 
 def _fbank_kernel(y_ref, win_ref, cos_ref, sin_ref, mel_ref, out_ref,
-                  y_vmem, sem, *, tile_n: int, win: int, hop: int, eps: float):
-    i = pl.program_id(0)
-    block_t = y_vmem.shape[1]
-    start = i * (tile_n * hop)
+                  y_vmem, sem, *, tile_n: int, hp: int, k: int, eps: float):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
 
+    k_pad = _round_up(k, 8)  # sublane slices must be 8-aligned (Mosaic)
     dma = pltpu.make_async_copy(
-        y_ref.at[:, pl.ds(start, block_t)], y_vmem, sem
+        y_ref.at[b, pl.ds(i * tile_n, tile_n + k_pad), :], y_vmem, sem
     )
     dma.start()
     dma.wait()
 
-    # frames via k shifted reshapes: stream j covers samples
-    # [j*hop + f*hop, j*hop + (f+1)*hop) of frame f
-    k = -(-win // hop)
-    streams = [
-        y_vmem[0, pl.ds(j * hop, tile_n * hop)].reshape(tile_n, hop)
-        for j in range(k)
-    ]
-    frames = jnp.concatenate(streams, axis=1)[:, :win]  # [tile_n, win]
-    fw = frames * win_ref[0, :][None, :]
-
-    real = jnp.dot(fw, cos_ref[:], preferred_element_type=jnp.float32)
-    imag = jnp.dot(fw, sin_ref[:], preferred_element_type=jnp.float32)
+    real = jnp.zeros((tile_n, cos_ref.shape[1]), jnp.float32)
+    imag = jnp.zeros((tile_n, cos_ref.shape[1]), jnp.float32)
+    for j in range(k):
+        s = y_vmem[pl.ds(j, tile_n), :] * win_ref[0, pl.ds(j * hp, hp)][None, :]
+        real += jnp.dot(s, cos_ref[pl.ds(j * hp, hp), :],
+                        preferred_element_type=jnp.float32)
+        imag += jnp.dot(s, sin_ref[pl.ds(j * hp, hp), :],
+                        preferred_element_type=jnp.float32)
     power = real * real + imag * imag
     mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
-    out_ref[:] = jnp.log(mel + eps)
+    out_ref[:] = jnp.log(mel + eps)[None]
 
 
 def fused_log_mel(
@@ -95,49 +109,59 @@ def fused_log_mel(
     tile_n: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
-    """[T] waveform -> [n_frames, n_mels] log-mel, matching
-    ``dsp.mel.log_mel_spectrogram`` (center=True reflect padding)."""
+    """[T] or [B, T] waveform(s) -> [(B,) n_frames, n_mels] log-mel,
+    matching ``dsp.mel.log_mel_spectrogram`` (center=True reflect padding)."""
+    squeeze = y.ndim == 1
+    if squeeze:
+        y = y[None]
     win = int(sample_rate * win_ms / 1000.0)
     hop = int(sample_rate * hop_ms / 1000.0)
     f_max = f_max if f_max is not None else sample_rate / 2 - 100.0
-    t = y.shape[-1]
+    b, t = y.shape
+    k = -(-win // hop)
 
     pad = win // 2
-    yp = jnp.pad(y, (pad, pad), mode="reflect")
+    yp = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
     n_out = t // hop + 1  # center=True frame count
 
+    tile_n = min(tile_n, _round_up(n_out, 8))
     n_blocks = -(-n_out // tile_n)
-    k = -(-win // hop)
-    block_t = tile_n * hop + (k - 1) * hop + hop  # slack for the k streams
-    needed = (n_blocks - 1) * (tile_n * hop) + block_t
-    if needed > yp.shape[-1]:
-        yp = jnp.pad(yp, (0, needed - yp.shape[-1]))
-    yp2 = yp[None, :]  # [1, T'] — 2D for TPU layouts
+    rows_needed = n_blocks * tile_n + _round_up(k, 8)
+    t_needed = rows_needed * hop
+    if t_needed > yp.shape[-1]:
+        yp = jnp.pad(yp, ((0, 0), (0, t_needed - yp.shape[-1])))
+    else:
+        yp = yp[:, :t_needed]
+    hp = _round_up(hop, 128)
+    y3 = yp.reshape(b, rows_needed, hop)
+    if hp != hop:  # 128-lane alignment (zero lanes hit zero DFT rows)
+        y3 = jnp.pad(y3, ((0, 0), (0, 0), (0, hp - hop)))
 
     window, cos_p, sin_p, mel_p = _padded_matrices(
-        win, n_mels, sample_rate, f_min, f_max
+        win, hop, n_mels, sample_rate, f_min, f_max
     )
     mp = mel_p.shape[1]
 
-    kernel = partial(_fbank_kernel, tile_n=tile_n, win=win, hop=hop, eps=eps)
+    kernel = partial(_fbank_kernel, tile_n=tile_n, hp=hp, k=k, eps=eps)
     out = pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
+        grid=(b, n_blocks),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # waveform stays in HBM
-            pl.BlockSpec((1, win), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(cos_p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(sin_p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(mel_p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),   # waveform rows stay in HBM
+            pl.BlockSpec(window.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(cos_p.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(sin_p.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(mel_p.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_n, mp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, tile_n, mp), lambda bi, i: (bi, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks * tile_n, mp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_blocks * tile_n, mp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((1, block_t), jnp.float32),
+            pltpu.VMEM((tile_n + _round_up(k, 8), hp), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(yp2, jnp.asarray(window), jnp.asarray(cos_p), jnp.asarray(sin_p),
+    )(y3, jnp.asarray(window), jnp.asarray(cos_p), jnp.asarray(sin_p),
       jnp.asarray(mel_p))
-    return out[:n_out, :n_mels]
+    out = out[:, :n_out, :n_mels]
+    return out[0] if squeeze else out
