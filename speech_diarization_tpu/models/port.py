@@ -39,11 +39,32 @@ def load_gtcrn_checkpoint(path: str | Path) -> dict[str, jnp.ndarray]:
     return port_torch_state_dict(sd)
 
 
-def save_params_npz(params: Mapping[str, jnp.ndarray], path: str | Path) -> None:
-    """Framework-native checkpoint format: flat npz (no torch dependency)."""
-    np.savez(str(path), **{k: np.asarray(v) for k, v in params.items()})
+def save_params_npz(
+    params: Mapping[str, jnp.ndarray], path: str | Path,
+    meta: dict | None = None,
+) -> None:
+    """Framework-native checkpoint format: flat npz (no torch dependency).
+    ``meta`` (a JSON-serializable dict, e.g. the architecture config) is
+    stored under the reserved ``__meta__`` key."""
+    import json
+
+    arrays = {k: np.asarray(v) for k, v in params.items()}
+    if meta is not None:
+        arrays["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(str(path), **arrays)
 
 
 def load_params_npz(path: str | Path) -> dict[str, jnp.ndarray]:
     with np.load(str(path)) as data:
-        return {k: jnp.asarray(data[k]) for k in data.files}
+        return {k: jnp.asarray(data[k]) for k in data.files if k != "__meta__"}
+
+
+def load_params_meta(path: str | Path) -> dict | None:
+    """Read the ``__meta__`` sidecar stored by :func:`save_params_npz`."""
+    import json
+
+    with np.load(str(path)) as data:
+        if "__meta__" not in data.files:
+            return None
+        return json.loads(bytes(data["__meta__"]).decode())

@@ -36,22 +36,69 @@ log = get_logger("baseline")
 
 
 class Diarizer:
-    """Batch wav→(segments, stems) processor."""
+    """Batch wav→(segments, stems) processor.
 
-    def __init__(self, cfg: DiarizationConfig | None = None, **pipeline_kwargs):
+    ``engine='flagship'`` (default) runs the VAD+SCD+cluster pipeline;
+    ``engine='segmentation'`` runs the PyanNet-class chunk-local
+    speaker-activity engine (pipelines/segmentation.py) — the analog of the
+    reference's pyannote-3.1 scaffold (``diarization_baseline.py:170-181``),
+    overlap-aware."""
+
+    def __init__(self, cfg: DiarizationConfig | None = None,
+                 engine: str = "flagship",
+                 seg_weights: str | Path | None = None,
+                 **pipeline_kwargs):
         if cfg is None:
             cfg = DiarizationConfig(
                 cluster=ClusterConfig(method="ahc", min_speakers=2, max_speakers=6,
                                       cos_threshold=0.70),
             )
         self.cfg = cfg
+        self.engine = engine
         self.pipeline = DiarizationPipeline(cfg, **pipeline_kwargs)
+        if engine == "segmentation":
+            from functools import partial
+
+            import jax
+
+            from ..models.segmentation import SegmentationModel
+            from .segmentation import SegmentationConfig
+
+            model = SegmentationModel()
+            seg_weights = seg_weights or (
+                Path(__file__).resolve().parents[2]
+                / "weights" / "segmentation_synthetic.npz")
+            if Path(seg_weights).exists():
+                from ..train.recipes import load_segmentation_weights
+
+                params = load_segmentation_weights(seg_weights)
+            else:
+                log.warning(
+                    "segmentation engine: %s missing — RANDOM weights, "
+                    "activities will be meaningless. Train via "
+                    "train/recipes.train_segmentation_synthetic.", seg_weights)
+                params = model.init(jax.random.PRNGKey(0))
+            self._seg_fn = jax.jit(partial(model.activities, params))
+            self._seg_cfg = SegmentationConfig(
+                cos_threshold=cfg.cluster.cos_threshold,
+                min_speakers=cfg.cluster.min_speakers or 1,
+                max_speakers=cfg.cluster.max_speakers or 8,
+                merge_gap_s=cfg.merge.max_gap_s,
+            )
 
     def diarize(self, source, rttm_path: str | Path | None = None) -> SegmentArray:
         """Segments with min-duration filter + time sort
         (``Diarizer.diarize``, ``diarization_baseline.py:289-303``)."""
-        result = self.pipeline(source)
-        segs = filter_short_segments(result.segments, self.cfg.merge.min_speech_s)
+        if self.engine == "segmentation":
+            from .segmentation import segmentation_diarize
+
+            y, sr = read_audio(source, target_sr=self.cfg.audio.sample_rate,
+                               mono=True)
+            segs = segmentation_diarize(
+                y, sr, self._seg_fn, self.pipeline.encode_fn, self._seg_cfg)
+        else:
+            segs = self.pipeline(source).segments
+        segs = filter_short_segments(segs, self.cfg.merge.min_speech_s)
         segs = segs.sort()
         if rttm_path is not None:
             write_rttm(rttm_path, segs)

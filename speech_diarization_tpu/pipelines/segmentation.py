@@ -1,0 +1,131 @@
+"""Segmentation-driven diarization — the pyannote-3.1-scaffold analog.
+
+Mirrors the baseline pipeline's engine (``diarization_baseline.py:170-181``):
+a chunk-local speaker-activity model (models/segmentation.py, PyanNet-class)
+scores fixed 5 s chunks for K local speaker slots; each active (chunk, slot)
+span becomes a local segment; local segments are embedded off the shared
+window grid and clustered globally (AHC over cosine, min/max-speaker
+bounded); same-speaker spans are then stitched across chunk boundaries.
+
+Unlike the flagship VAD+SCD pipeline this represents OVERLAPPING speech:
+two slots active at once yield two time-overlapping segments with different
+global speakers — beyond the reference's own capability (its OSD path is
+commented out, ``anti_stick_diarize.py:479-489``).
+
+TPU-first: all chunks are scored in one [n_chunks, T] batched dispatch
+(fixed shapes); embeddings come from the same dense grid the flagship uses.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import cluster as cluster_mod
+from ..segment.embed import embed_windows, segment_embeddings_from_grid, window_starts
+from ..segment.merge import merge_adjacent, merge_same_speaker
+from ..types import SegmentArray
+from ..utils.logging import get_logger
+
+log = get_logger("segmentation")
+
+
+@dataclass
+class SegmentationConfig:
+    chunk_s: float = 5.0
+    hop_ms: float = 10.0
+    onset: float = 0.5        # activity binarization threshold
+    min_on_s: float = 0.25    # min active span (pyannote min_duration_on)
+    min_off_s: float = 0.10   # fill gaps shorter than this (min_duration_off)
+    grid_win_s: float = 1.0
+    grid_hop_s: float = 0.1
+    cos_threshold: float = 0.70
+    min_speakers: int = 1
+    max_speakers: int = 8
+    merge_gap_s: float = 0.5
+
+
+def _binarize_activity(act: np.ndarray, cfg: SegmentationConfig) -> list[tuple[int, int]]:
+    """[F] activity -> list of (f0, f1) active frame spans with min-on/off."""
+    on = act >= cfg.onset
+    if not on.any():
+        return []
+    hop_s = cfg.hop_ms / 1000.0
+    min_on = max(1, int(round(cfg.min_on_s / hop_s)))
+    min_off = max(1, int(round(cfg.min_off_s / hop_s)))
+    idx = np.flatnonzero(np.diff(np.concatenate([[0], on.astype(np.int8), [0]])))
+    spans = list(zip(idx[::2], idx[1::2]))
+    # fill short gaps, then drop short spans
+    merged: list[tuple[int, int]] = []
+    for f0, f1 in spans:
+        if merged and f0 - merged[-1][1] < min_off:
+            merged[-1] = (merged[-1][0], f1)
+        else:
+            merged.append((f0, f1))
+    return [(f0, f1) for f0, f1 in merged if f1 - f0 >= min_on]
+
+
+def segmentation_diarize(
+    y,
+    sr: int,
+    seg_activities_fn: Callable,
+    encode_fn: Callable,
+    cfg: SegmentationConfig | None = None,
+) -> SegmentArray:
+    """wav -> globally-labeled (possibly overlapping) segments.
+
+    Args:
+        seg_activities_fn: ``[n_chunks, T_chunk] -> [n_chunks, F, K]``
+            (a jitted closure over ``SegmentationModel.activities``).
+        encode_fn: ``[B, T] -> [B, D]`` speaker embedder.
+    """
+    cfg = cfg or SegmentationConfig()
+    y = np.asarray(y, np.float32)
+    chunk = int(cfg.chunk_s * sr)
+    n_chunks = max(1, -(-len(y) // chunk))
+    yp = np.pad(y, (0, n_chunks * chunk - len(y)))
+    chunks = jnp.asarray(yp.reshape(n_chunks, chunk))
+
+    acts = np.asarray(seg_activities_fn(chunks))  # [n_chunks, F, K]
+    hop_s = cfg.hop_ms / 1000.0
+
+    starts, ends, owners = [], [], []
+    for c in range(n_chunks):
+        for k in range(acts.shape[2]):
+            for f0, f1 in _binarize_activity(acts[c, :, k], cfg):
+                s = c * cfg.chunk_s + f0 * hop_s
+                e = min(c * cfg.chunk_s + f1 * hop_s, len(y) / sr)
+                if e - s >= cfg.min_on_s:
+                    starts.append(s)
+                    ends.append(e)
+                    owners.append((c, k))
+    if not starts:
+        return SegmentArray.from_pairs([])
+    local = SegmentArray(np.asarray(starts), np.asarray(ends))
+    log.info("segmentation: %d local (chunk, slot) segments", len(local))
+
+    # embeddings from the shared dense grid (one batched encode pass)
+    win_embs = embed_windows(encode_fn, jnp.asarray(y), sr,
+                             cfg.grid_win_s, cfg.grid_hop_s)
+    grid_starts = window_starts(len(y), sr, cfg.grid_win_s, cfg.grid_hop_s) / sr
+    embs = segment_embeddings_from_grid(win_embs, grid_starts, cfg.grid_win_s, local)
+
+    labels = cluster_mod.ahc_cluster(
+        embs, cos_threshold=cfg.cos_threshold,
+        min_speakers=cfg.min_speakers, max_speakers=cfg.max_speakers,
+    )
+    segs = SegmentArray(local.starts, local.ends, labels.astype(np.int32)).sort()
+    # stitch across chunk boundaries + inside chunks
+    segs = merge_adjacent(segs, cfg.merge_gap_s)
+    return segs
+
+
+def make_seg_activities_fn(model, params) -> Callable:
+    """Jit ``SegmentationModel.activities`` once for batched chunk scoring."""
+    from functools import partial
+
+    return jax.jit(partial(model.activities, params))

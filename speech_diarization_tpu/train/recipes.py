@@ -141,8 +141,38 @@ def train_speaker_encoder_synthetic(
     log.info("speaker probe purity %.3f", purity)
 
     if out_path is not None:
-        save_params_npz(_flatten(params), out_path)
+        save_params_npz(
+            _flatten(params), out_path,
+            meta={"net": {
+                "n_mels": net.n_mels, "channels": net.channels,
+                "emb_dim": net.emb_dim, "scale": net.scale,
+                "se_channels": net.se_channels,
+                "att_channels": net.att_channels,
+                "dilations": list(net.dilations),
+            }},
+        )
     return params, metrics
+
+
+def load_speaker_encoder(path: str | Path, dtype=None):
+    """Load a synthetic-trained speaker encoder saved by
+    :func:`train_speaker_encoder_synthetic` -> (EcapaModel, params).
+    The architecture config travels in the npz ``__meta__`` sidecar."""
+    import jax.numpy as jnp
+
+    from ..models.ecapa import EcapaModel, EcapaTdnn
+    from ..models.port import load_params_meta, load_params_npz
+
+    meta = load_params_meta(path) or {}
+    net_cfg = dict(meta.get("net", {}))
+    if "dilations" in net_cfg:
+        net_cfg["dilations"] = tuple(net_cfg["dilations"])
+    if dtype is not None:
+        net_cfg["dtype"] = dtype
+    net = EcapaTdnn(**net_cfg)
+    params = unflatten_params(load_params_npz(path))
+    params.pop("classifier", None)  # training head, not needed for inference
+    return EcapaModel(net), params
 
 
 def make_noisy_clean_batch(
@@ -308,17 +338,131 @@ def train_zipenhancer_synthetic(
     return params, metrics
 
 
+def train_segmentation_synthetic(
+    steps: int = 400,
+    batch: int = 8,
+    dur_s: float = 5.0,
+    max_speakers: int = 3,
+    lr: float = 2e-3,
+    seed: int = 0,
+    out_path: str | Path | None = None,
+    eval_every: int = 50,
+) -> tuple[dict, dict]:
+    """Train the PyanNet-class chunk-local segmentation model (VERDICT r1
+    missing #3) on synthetic overlapping-speech chunks with PIT-BCE; returns
+    (params, metrics with heldout best-permutation frame accuracy)."""
+    import optax as _optax
+
+    from ..models.segmentation import (
+        SegmentationModel, best_permutation_accuracy, pit_bce_loss,
+    )
+    from ..train.synthetic import make_segmentation_example
+
+    model = SegmentationModel()
+    model.net.n_speakers = max_speakers
+    params = model.init(jax.random.PRNGKey(seed))
+    opt = _optax.adam(lr)
+    opt_state = opt.init(params)
+    rng = np.random.default_rng(seed)
+
+    def batch_data(g):
+        ws, ls = zip(*(make_segmentation_example(g, dur_s, max_speakers=max_speakers)
+                       for _ in range(batch)))
+        return np.stack(ws), np.stack(ls)
+
+    def loss_fn(p, wavs, labels):
+        act = model.activities(p, wavs)
+        n = min(act.shape[1], labels.shape[1])
+        return pit_bce_loss(act[:, :n], labels[:, :n])
+
+    @jax.jit
+    def step(p, o, wavs, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(p, wavs, labels)
+        updates, o = opt.update(grads, o)
+        return _optax.apply_updates(p, updates), o, loss
+
+    metrics = {"loss": []}
+    for i in range(steps):
+        wavs, labels = batch_data(rng)
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(wavs), jnp.asarray(labels))
+        if (i + 1) % eval_every == 0 or i == 0:
+            metrics["loss"].append(float(loss))
+            log.info("seg step %d pit-bce %.4f", i + 1, float(loss))
+
+    heldout = np.random.default_rng(seed + 1)
+    wavs, labels = batch_data(heldout)
+    act = np.asarray(model.activities(params, jnp.asarray(wavs)))
+    n = min(act.shape[1], labels.shape[1])
+    metrics["frame_accuracy"] = best_permutation_accuracy(act[:, :n], labels[:, :n])
+    log.info("seg heldout best-perm frame accuracy %.3f", metrics["frame_accuracy"])
+
+    if out_path is not None:
+        save_params_npz(_flatten(params), out_path)
+    return params, metrics
+
+
+def load_segmentation_weights(path: str | Path) -> dict:
+    """Inverse of the npz flattening for SegNet params (same '/'-separated
+    flattening as :func:`load_vad_weights`, four GRU subtrees)."""
+    from ..models.layers import GRUParams
+    from ..models.port import load_params_npz
+
+    flat = load_params_npz(path)
+    params: dict = {}
+    gru: dict[str, dict] = {}
+    for k, v in flat.items():
+        if "/" in k:
+            head, field = k.split("/", 1)
+            gru.setdefault(head, {})[field] = v
+        else:
+            params[k] = v
+    for head, fields in gru.items():
+        params[head] = GRUParams(fields["w_ih"], fields["w_hh"],
+                                 fields["b_ih"], fields["b_hh"])
+    return params
+
+
 def _flatten(tree, prefix=""):
     out = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)) and not hasattr(tree, "_fields"):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
     elif hasattr(tree, "_fields"):  # NamedTuple (GRUParams)
         for k in tree._fields:
             out.update(_flatten(getattr(tree, k), f"{prefix}{k}/"))
     else:
         out[prefix[:-1]] = tree
     return out
+
+
+def unflatten_params(flat: dict) -> dict:
+    """Inverse of :func:`_flatten`: '/'-separated keys -> nested
+    dicts/lists/GRUParams."""
+    from ..models.layers import GRUParams
+
+    nested: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = nested
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+
+    def fix(node):
+        if not isinstance(node, dict):
+            return node
+        keys = set(node)
+        if keys == {"w_ih", "w_hh", "b_ih", "b_hh"}:
+            return GRUParams(node["w_ih"], node["w_hh"], node["b_ih"], node["b_hh"])
+        if keys and all(k.isdigit() for k in keys):
+            return [fix(node[str(i)]) for i in range(len(node))]
+        return {k: fix(v) for k, v in node.items()}
+
+    return fix(nested)
 
 
 def load_vad_weights(path: str | Path) -> dict:

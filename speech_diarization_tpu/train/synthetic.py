@@ -45,9 +45,11 @@ def synth_speech_like(
 
 def synth_negative(rng: np.random.Generator, dur_s: float, sr: int = 16000) -> np.ndarray:
     n = int(dur_s * sr)
-    kind = rng.integers(0, 4)
+    kind = rng.integers(0, 5)
     if kind == 0:  # silence with tiny sensor noise
         return (1e-4 * rng.standard_normal(n)).astype(np.float32)
+    if kind == 4:  # pure digital silence (zero-padded regions, edited audio)
+        return np.zeros(n, np.float32)
     if kind == 1:  # white noise
         return (rng.uniform(0.02, 0.15) * rng.standard_normal(n)).astype(np.float32)
     if kind == 2:  # pink-ish noise (cumulative-filtered)
@@ -62,10 +64,15 @@ def synth_negative(rng: np.random.Generator, dur_s: float, sr: int = 16000) -> n
 
 def make_vad_example(
     rng: np.random.Generator, dur_s: float = 4.0, sr: int = 16000,
-    hop_ms: float = 10.0,
+    hop_ms: float = 10.0, preprocess_aug: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Random concatenation of speech-like and negative spans -> (wave [T],
-    frame labels [n_frames] at hop_ms)."""
+    frame labels [n_frames] at hop_ms).
+
+    ``preprocess_aug`` randomly applies the pipeline's preprocessing
+    (pre-emphasis 0.97, gain changes from loudness normalization) so the VAD
+    is robust to both raw and preprocessed inputs — without it the trained
+    net loses ~30% recall behind the pipeline's pre-emphasis stage."""
     n = int(dur_s * sr)
     wave = np.zeros(n, np.float32)
     n_frames = n // int(sr * hop_ms / 1000.0) + 1
@@ -85,6 +92,11 @@ def make_vad_example(
             f0, f1 = pos // hop, min((pos + span) // hop, n_frames)
             labels[f0:f1] = 1.0
         pos += span
+    if preprocess_aug:
+        if rng.uniform() < 0.5:  # pre-emphasis (dsp/preprocess.py default)
+            wave = np.concatenate([wave[:1], wave[1:] - 0.97 * wave[:-1]])
+        gain = 10.0 ** (rng.uniform(-12.0, 6.0) / 20.0)  # loudness-norm gains
+        wave = np.clip(wave * gain, -0.99, 0.99).astype(np.float32)
     return wave, labels
 
 
@@ -110,9 +122,10 @@ def make_conversation(
     parts, starts, ends, spks = [], [], [], []
     t0 = 0.0
     prev = -1
+    floor = float(rng.uniform(1e-4, 3e-3))  # sensor-noise floor in the gaps
     while t0 < duration_s:
         gap = float(rng.uniform(*gap_s))
-        parts.append(np.zeros(int(gap * sr), np.float32))
+        parts.append((floor * rng.standard_normal(int(gap * sr))).astype(np.float32))
         t0 += gap
         if t0 >= duration_s:
             break
@@ -196,6 +209,47 @@ def spectral_probe_encoder(wavs):
     return feats.astype(np.float32)
 
 
+def make_segmentation_example(
+    rng: np.random.Generator,
+    dur_s: float = 5.0,
+    sr: int = 16000,
+    max_speakers: int = 3,
+    hop_ms: float = 10.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Chunk with up to ``max_speakers`` local speakers whose turns MAY
+    overlap -> (wave [T], activities [n_frames, K]).
+
+    The training data for the PyanNet-class segmentation model
+    (models/segmentation.py): unlike :func:`make_vad_example`, turns of
+    different speakers are placed independently, so simultaneous speech
+    occurs and each speaker slot carries its own activity channel."""
+    bank = make_speaker_bank(rng, max_speakers)
+    n = int(dur_s * sr)
+    hop = int(sr * hop_ms / 1000.0)
+    n_frames = n // hop + 1
+    wave = (1e-4 * rng.standard_normal(n)).astype(np.float64)
+    labels = np.zeros((n_frames, max_speakers), np.float32)
+    n_spk = int(rng.integers(1, max_speakers + 1))
+    for k in range(n_spk):
+        prof = bank[k]
+        for _ in range(int(rng.integers(1, 3))):
+            dur = float(rng.uniform(0.8, 2.5))
+            start = float(rng.uniform(0.0, max(dur_s - dur, 0.01)))
+            i0 = int(start * sr)
+            seg = synth_speech_like(
+                rng, dur, sr,
+                f0=prof["f0"] * float(rng.uniform(0.97, 1.03)),
+                formants=prof["formants"],
+            )
+            i1 = min(i0 + len(seg), n)
+            wave[i0:i1] += seg[: i1 - i0]
+            labels[i0 // hop : min(i1 // hop, n_frames), k] = 1.0
+    peak = max(np.abs(wave).max(), 1e-6)
+    wave = wave / peak * min(0.6, peak)  # keep quiet chunks quiet
+    wave = wave + 0.005 * rng.standard_normal(n)
+    return wave.astype(np.float32), labels
+
+
 def make_speaker_bank(rng: np.random.Generator, n_speakers: int):
     """Fixed per-speaker (f0, formants) profiles for speaker-ID training."""
     return [
@@ -208,7 +262,8 @@ def make_speaker_bank(rng: np.random.Generator, n_speakers: int):
 
 
 def make_speaker_batch(
-    rng: np.random.Generator, bank, batch: int, dur_s: float = 2.0, sr: int = 16000
+    rng: np.random.Generator, bank, batch: int, dur_s: float = 2.0,
+    sr: int = 16000, preprocess_aug: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     wavs, labels = [], []
     for _ in range(batch):
@@ -216,6 +271,12 @@ def make_speaker_batch(
         prof = bank[spk]
         w = synth_speech_like(rng, dur_s, sr, f0=prof["f0"] * rng.uniform(0.95, 1.05),
                               formants=prof["formants"])
-        wavs.append(w + 0.01 * rng.standard_normal(len(w)).astype(np.float32))
+        w = w + 0.01 * rng.standard_normal(len(w)).astype(np.float32)
+        if preprocess_aug:  # match the pipeline's preprocessed domain
+            if rng.uniform() < 0.5:
+                w = np.concatenate([w[:1], w[1:] - 0.97 * w[:-1]])
+            gain = 10.0 ** (rng.uniform(-12.0, 6.0) / 20.0)
+            w = np.clip(w * gain, -0.99, 0.99).astype(np.float32)
+        wavs.append(w.astype(np.float32))
         labels.append(spk)
     return np.stack(wavs), np.array(labels)
