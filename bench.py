@@ -106,9 +106,18 @@ def main() -> None:
         f"first contact {time.perf_counter() - t0:.1f}s")
 
     # -- build the pipeline ---------------------------------------------------
-    # bf16 matmuls, f32 pooling/stats (fidelity tested in tests/test_bf16.py)
-    ecapa = EcapaModel(EcapaTdnn(dtype=jnp.bfloat16))
-    ecapa_params = ecapa.init(jax.random.PRNGKey(0))
+    # bf16 matmuls, f32 pooling/stats (fidelity tested in tests/test_bf16.py).
+    # NOTE: the bench intentionally uses the FULL-SIZE ECAPA (the production
+    # compute profile) with random weights when no full-size checkpoint is
+    # shipped — the small synthetic-trained encoder would understate the load.
+    enc_weights = Path(__file__).resolve().parent / "weights" / "ecapa_synthetic.npz"
+    if os.environ.get("SDTPU_BENCH_ENCODER", "full") == "synthetic" and enc_weights.exists():
+        from speech_diarization_tpu.train.recipes import load_speaker_encoder
+
+        ecapa, ecapa_params = load_speaker_encoder(enc_weights, dtype=jnp.bfloat16)
+    else:
+        ecapa = EcapaModel(EcapaTdnn(dtype=jnp.bfloat16))
+        ecapa_params = ecapa.init(jax.random.PRNGKey(0))
     encode_fn = jax.jit(partial(ecapa.encode_batch, ecapa_params))
 
     weights = Path(__file__).resolve().parent / "weights" / "vad_synthetic.npz"

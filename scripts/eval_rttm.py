@@ -40,7 +40,12 @@ def build_pipeline(args):
         cluster=ClusterConfig(method=args.cluster, max_speakers=args.max_speakers))
 
     encode_fn = None
-    if args.encoder_weights:
+    if args.encoder_weights and args.encoder_weights.endswith(".npz"):
+        from speech_diarization_tpu.train.recipes import load_speaker_encoder
+
+        model, params = load_speaker_encoder(args.encoder_weights)
+        encode_fn = jax.jit(partial(model.encode_batch, params))
+    elif args.encoder_weights:
         from speech_diarization_tpu.models.ecapa import EcapaModel
         from speech_diarization_tpu.models.port_ecapa import load_ecapa_speechbrain
 

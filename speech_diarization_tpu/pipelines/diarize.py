@@ -86,15 +86,26 @@ class DiarizationPipeline:
         sr = self.cfg.audio.sample_rate
 
         if encode_fn is None:
-            log.warning(
-                "no encode_fn given: falling back to a RANDOM-weight ECAPA — "
-                "speaker labels will be meaningless. Port a checkpoint "
-                "(models/port_ecapa.load_ecapa_speechbrain) or train one "
-                "(train/recipes.train_speaker_encoder_synthetic) and pass "
-                "encode_fn explicitly."
-            )
-            model = EcapaModel()
-            params = model.init(jax.random.PRNGKey(0))
+            from pathlib import Path
+
+            default = (Path(__file__).resolve().parents[2]
+                       / "weights" / "ecapa_synthetic.npz")
+            if default.exists():
+                from ..train.recipes import load_speaker_encoder
+
+                log.info("encoder: using shipped synthetic-trained weights %s",
+                         default)
+                model, params = load_speaker_encoder(default)
+            else:
+                log.warning(
+                    "no encode_fn given and %s missing: falling back to a "
+                    "RANDOM-weight ECAPA — speaker labels will be meaningless. "
+                    "Port a checkpoint (models/port_ecapa.load_ecapa_speechbrain) "
+                    "or train one (train/recipes.train_speaker_encoder_synthetic).",
+                    default,
+                )
+                model = EcapaModel()
+                params = model.init(jax.random.PRNGKey(0))
             encode_fn = jax.jit(partial(model.encode_batch, params))
         self.encode_fn = encode_fn
 

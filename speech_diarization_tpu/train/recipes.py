@@ -129,13 +129,16 @@ def train_speaker_encoder_synthetic(
             losses.append(float(loss))
             log.info("spk step %d loss %.4f", i + 1, float(loss))
 
-    # probe: embeddings of fresh utterances should cluster by speaker
+    # probe: embeddings of fresh utterances should cluster by speaker.
+    # Only speakers present in the probe batch get a centroid (a missing
+    # speaker's empty mean is NaN and silently poisons every argmax).
     wavs, labels = make_speaker_batch(rng, bank, 3 * n_speakers)
     emb = np.asarray(model.encode_batch(params, jnp.asarray(wavs)))
     e = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-9)
-    centroids = np.stack([e[labels == k].mean(0) for k in range(n_speakers)])
+    present = [k for k in range(n_speakers) if (labels == k).any()]
+    centroids = np.stack([e[labels == k].mean(0) for k in present])
     centroids /= np.linalg.norm(centroids, axis=1, keepdims=True) + 1e-9
-    pred = np.argmax(e @ centroids.T, axis=1)
+    pred = np.asarray(present)[np.argmax(e @ centroids.T, axis=1)]
     purity = float((pred == labels).mean())
     metrics = {"loss": losses, "probe_purity": purity}
     log.info("speaker probe purity %.3f", purity)
@@ -186,7 +189,13 @@ def make_noisy_clean_batch(
     noisy, clean = [], []
     for _ in range(batch):
         c = synth_speech_like(rng, dur_s, sr)
-        n = synth_negative(rng, dur_s, sr)
+        # a zero-power negative (pure digital silence, valid for VAD training)
+        # makes a degenerate enhancement pair: noisy == clean and the SI-SNR
+        # baseline explodes; resample until the noise actually carries power
+        for _ in range(8):
+            n = synth_negative(rng, dur_s, sr)
+            if float(np.mean(n**2)) > 1e-9:
+                break
         n = n[: len(c)] if len(n) >= len(c) else np.pad(n, (0, len(c) - len(n)))
         snr = rng.uniform(*snr_db)
         pc = np.mean(c**2) + 1e-12

@@ -35,8 +35,9 @@ class TestAltEmbedders:
     def test_campp_shapes(self):
         from speech_diarization_tpu.models.campp import CamPlusPlus, CamPlusPlusModel
 
-        net = CamPlusPlus(n_mels=40, fcm_channels=8, init_channels=32,
-                          growth=16, bottleneck=32, blocks=(2, 2), emb_dim=32)
+        net = CamPlusPlus(n_mels=40, m_channels=8, init_channels=32,
+                          growth=16, bn_channels=32, num_layers=(2, 2),
+                          dilations=(1, 2), kernels=(3, 3), emb_dim=32)
         model = CamPlusPlusModel(net)
         params = model.init(jax.random.PRNGKey(0))
         wavs = jnp.asarray(np.random.default_rng(1)

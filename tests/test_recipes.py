@@ -20,7 +20,9 @@ WEIGHTS = Path(__file__).resolve().parents[1] / "weights" / "vad_synthetic.npz"
 class TestSyntheticData:
     def test_vad_example_labels_align(self):
         rng = np.random.default_rng(0)
-        wave, labels = make_vad_example(rng, dur_s=4.0)
+        # preprocess_aug off: this test asserts the generator's raw
+        # speech-vs-noise energy structure, which gain augmentation hides
+        wave, labels = make_vad_example(rng, dur_s=4.0, preprocess_aug=False)
         assert wave.shape == (64000,)
         assert 0.1 < labels.mean() < 0.9  # both classes present
         # labeled speech frames should carry much more energy
@@ -67,7 +69,9 @@ class TestTrainedVad:
         params = load_vad_weights(WEIGHTS)
         model = VadModel()
         rng = np.random.default_rng(3)
-        wave, labels = make_vad_example(rng, dur_s=4.0)
+        # preprocess_aug off: this test asserts the generator's raw
+        # speech-vs-noise energy structure, which gain augmentation hides
+        wave, labels = make_vad_example(rng, dur_s=4.0, preprocess_aug=False)
         probs = np.asarray(model.probs(params, jnp.asarray(wave)))
         n = min(len(probs), len(labels))
         acc = ((probs[:n] > 0.5) == (labels[:n] > 0.5)).mean()
