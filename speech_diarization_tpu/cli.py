@@ -150,7 +150,8 @@ def cmd_batch(args) -> int:
     from .pipelines.baseline import run_batch
 
     cfg = build_config(args)
-    done = run_batch(args.root, cfg, with_rttm=True, **build_pipeline_kwargs(args))
+    done = run_batch(args.root, cfg, with_rttm=True, engine=args.engine,
+                     **build_pipeline_kwargs(args))
     print(f"processed {len(done)} files")
     return 0
 
@@ -206,6 +207,10 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("batch", help="batch-diarize a directory (with stems)")
     p.add_argument("root")
+    p.add_argument("--engine", default="flagship",
+                   choices=["flagship", "segmentation"],
+                   help="segmentation = PyanNet-class chunk-local activity "
+                        "engine (overlap-aware)")
     _add_common_config_args(p)
     p.set_defaults(fn=cmd_batch)
 

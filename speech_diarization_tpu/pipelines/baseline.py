@@ -141,12 +141,13 @@ def run_batch(
     root: str | Path,
     cfg: DiarizationConfig | None = None,
     with_rttm: bool = True,
+    engine: str = "flagship",
     **pipeline_kwargs,
 ) -> list[tuple[Path, int]]:
     """Directory batch with skip-if-done resume
     (``diarization_baseline.py:370-376``): a file whose ``.rttm`` already
     exists is skipped."""
-    diarizer = Diarizer(cfg, **pipeline_kwargs)
+    diarizer = Diarizer(cfg, engine=engine, **pipeline_kwargs)
     audios, aroot = expand_audios(Path(root))
     # don't re-ingest our own stem outputs on a resumed run
     audios = [a for a in audios
