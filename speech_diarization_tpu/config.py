@@ -68,6 +68,9 @@ class EmbedConfig:
     # 'bucketed': per-segment snippets padded to bucketed lengths (reference-style,
     #            mirrors pad-to-batch-max at anti_stick_diarize.py:150-169).
     mode: str = "grid"
+    # NOTE: the flagship pipeline's dense grid geometry comes from
+    # ResegConfig.win_s/hop_s (one grid serves SCD + embeddings + reassign);
+    # these fields parameterize only the standalone segment-embedding helpers.
     grid_win_s: float = 1.5
     grid_hop_s: float = 0.75
     min_duration_ms: float = 500.0    # short segments get context padding

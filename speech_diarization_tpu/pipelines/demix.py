@@ -23,6 +23,7 @@ from ..dsp.framing import frame_signal, num_frames
 from ..dsp.ola import ola_normalization, overlap_add
 from ..dsp.stft import hann_window
 from ..io.audio import read_audio, write_wav
+from ..utils.logging import get_logger
 from ..io.walk import expand_audios
 from ..models.demix import STEMS, DialogDemixer, Params
 from ..utils.logging import get_logger
@@ -58,9 +59,23 @@ class EnsembleDemixer:
     ):
         self.model = model or DialogDemixer()
         if param_sets is None:
-            param_sets = [
-                self.model.init(jax.random.PRNGKey(i)) for i in range(n_models)
-            ]
+            default = (Path(__file__).resolve().parents[2]
+                       / "weights" / "demix_synthetic.npz")
+            if model is None and default.exists():
+                from ..train.recipes import load_demixer
+
+                log.info("demix: using shipped synthetic-trained weights %s "
+                         "(ensemble of 1)", default)
+                self.model, params = load_demixer(default)
+                param_sets = [params]
+            else:
+                log.warning(
+                    "demix: no weights given — RANDOM ensemble; stems will be "
+                    "garbage. Train via train/recipes.train_demixer_synthetic "
+                    "or port checkpoints.")
+                param_sets = [
+                    self.model.init(jax.random.PRNGKey(i)) for i in range(n_models)
+                ]
         self.param_sets = list(param_sets)
         self.chunk_s = chunk_s
         self.overlap = overlap

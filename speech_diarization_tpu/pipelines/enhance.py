@@ -206,12 +206,23 @@ def make_enhance_fn(backend: str, params=None, **kwargs) -> Callable:
 
         model = ZipEnhancerModel()
         if params is None:
-            log.warning(
-                "zipenhancer: no weights given — using RANDOM weights; "
-                "'enhanced' audio will be garbage. Train via "
-                "train/recipes.train_zipenhancer_synthetic or port a "
-                "checkpoint.")
-            params = model.init(jax.random.PRNGKey(0))
+            from pathlib import Path
+
+            from ..models.port import load_params_npz
+
+            default = (Path(__file__).resolve().parents[2]
+                       / "weights" / "zipenhancer_synthetic.npz")
+            if default.exists():
+                log.info("zipenhancer: using shipped synthetic-trained "
+                         "weights %s", default)
+                params = load_params_npz(default)
+            else:
+                log.warning(
+                    "zipenhancer: no weights given and %s missing — using "
+                    "RANDOM weights; 'enhanced' audio will be garbage. Train "
+                    "via train/recipes.train_zipenhancer_synthetic or port a "
+                    "checkpoint.", default)
+                params = model.init(jax.random.PRNGKey(0))
         fwd = jax.jit(partial(model.apply, params))
         return lambda y: jnp.asarray(windowed_enhance(fwd, y, **kwargs))
     raise ValueError(f"unknown enhancement backend: {backend}")

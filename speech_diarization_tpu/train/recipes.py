@@ -347,6 +347,84 @@ def train_zipenhancer_synthetic(
     return params, metrics
 
 
+def train_demixer_synthetic(
+    steps: int = 300,
+    batch: int = 4,
+    dur_s: float = 1.0,
+    lr: float = 5e-4,
+    seed: int = 0,
+    out_path: str | Path | None = None,
+    eval_every: int = 50,
+    net=None,
+) -> tuple[dict, dict]:
+    """Train the Demucs-class dialog/effect/music demixer on synthetic stereo
+    mixtures with per-stem SI-SNR; returns (params, metrics with heldout
+    per-stem SI-SNR vs the mixture baseline)."""
+    import optax as _optax
+
+    from ..models.demix import DialogDemixer
+    from ..train.objectives import si_snr_loss
+    from ..train.synthetic import make_demix_example
+
+    model = net or DialogDemixer()
+    params = model.init(jax.random.PRNGKey(seed))
+    opt = _optax.adamw(lr)
+    opt_state = opt.init(params)
+    rng = np.random.default_rng(seed)
+    sr = 44100
+
+    def batch_data(g):
+        ms, ss = zip(*(make_demix_example(g, dur_s, sr) for _ in range(batch)))
+        return np.stack(ms), np.stack(ss)
+
+    def loss_fn(p, mix, stems):
+        est = model.apply(p, mix)  # [B, 3, 2, T]
+        b, s, c, t = est.shape
+        return si_snr_loss(est.reshape(b * s * c, t),
+                           stems.reshape(b * s * c, t))
+
+    @jax.jit
+    def step(p, o, mix, stems):
+        loss, grads = jax.value_and_grad(loss_fn)(p, mix, stems)
+        updates, o = opt.update(grads, o, p)
+        return _optax.apply_updates(p, updates), o, loss
+
+    metrics = {"loss": []}
+    for i in range(steps):
+        mix, stems = batch_data(rng)
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(mix), jnp.asarray(stems))
+        if (i + 1) % eval_every == 0 or i == 0:
+            metrics["loss"].append(float(loss))
+            log.info("demix step %d si-snr loss %.3f", i + 1, float(loss))
+
+    heldout = np.random.default_rng(seed + 1)
+    mix, stems = batch_data(heldout)
+    est = np.asarray(jax.jit(model.apply)(params, jnp.asarray(mix)))
+    b, s, c, t = est.shape
+    metrics["si_snr_mix_db"] = si_snr_db(
+        np.broadcast_to(mix[:, None], stems.shape).reshape(b * s * c, t),
+        stems.reshape(b * s * c, t))
+    metrics["si_snr_est_db"] = si_snr_db(
+        est.reshape(b * s * c, t), stems.reshape(b * s * c, t))
+    metrics["si_snr_gain_db"] = (
+        metrics["si_snr_est_db"] - metrics["si_snr_mix_db"])
+    log.info("demix heldout SI-SNR: mixture %.2f dB -> separated %.2f dB (+%.2f)",
+             metrics["si_snr_mix_db"], metrics["si_snr_est_db"],
+             metrics["si_snr_gain_db"])
+
+    if out_path is not None:
+        save_params_npz(
+            _flatten(params), out_path,
+            meta={"net": {
+                "channels": model.c, "depth": model.depth, "kernel": model.k,
+                "stride": model.s, "bottleneck_blocks": model.nb,
+                "sources": model.sources, "audio_channels": model.ac,
+            }},
+        )
+    return params, metrics
+
+
 def train_segmentation_synthetic(
     steps: int = 400,
     batch: int = 8,
@@ -409,6 +487,24 @@ def train_segmentation_synthetic(
     if out_path is not None:
         save_params_npz(_flatten(params), out_path)
     return params, metrics
+
+
+def load_demixer_weights(path: str | Path) -> dict:
+    """Demixer params are a flat dict; npz round-trips directly."""
+    from ..models.port import load_params_npz
+
+    return load_params_npz(path)
+
+
+def load_demixer(path: str | Path):
+    """-> (DialogDemixer, params); the architecture config travels in the
+    npz ``__meta__`` sidecar."""
+    from ..models.demix import DialogDemixer
+    from ..models.port import load_params_meta
+
+    meta = load_params_meta(path) or {}
+    model = DialogDemixer(**meta.get("net", {}))
+    return model, load_demixer_weights(path)
 
 
 def load_segmentation_weights(path: str | Path) -> dict:

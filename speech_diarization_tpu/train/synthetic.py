@@ -250,6 +250,67 @@ def make_segmentation_example(
     return wave.astype(np.float32), labels
 
 
+def synth_music_like(rng: np.random.Generator, dur_s: float, sr: int) -> np.ndarray:
+    """Chord-progression stand-in for the music stem: stacked harmonic notes
+    with slow envelopes and a root progression."""
+    n = int(dur_s * sr)
+    t = np.arange(n) / sr
+    sig = np.zeros(n)
+    root = rng.uniform(110.0, 220.0)
+    for step in range(max(1, int(dur_s / 0.5))):
+        i0 = int(step * 0.5 * sr)
+        i1 = min(int((step + 1) * 0.5 * sr), n)
+        if i0 >= n:
+            break
+        chord = root * 2.0 ** (rng.integers(0, 12) / 12.0)
+        seg_t = t[i0:i1]
+        env = np.minimum(1.0, (seg_t - seg_t[0]) * 20.0) * np.exp(
+            -(seg_t - seg_t[0]) * rng.uniform(0.5, 2.0))
+        for ratio in (1.0, 1.25, 1.5, 2.0):
+            for h in (1, 2, 3):
+                sig[i0:i1] += (env / h) * np.sin(
+                    2 * np.pi * chord * ratio * h * seg_t + rng.uniform(0, 6.28))
+    sig = sig / (np.abs(sig).max() + 1e-9) * rng.uniform(0.2, 0.5)
+    return sig.astype(np.float32)
+
+
+def synth_effect_like(rng: np.random.Generator, dur_s: float, sr: int) -> np.ndarray:
+    """Effect-stem stand-in: broadband bursts/whooshes (enveloped shaped noise)."""
+    n = int(dur_s * sr)
+    sig = np.zeros(n, np.float64)
+    for _ in range(int(rng.integers(1, 4))):
+        b_dur = rng.uniform(0.1, min(0.8, dur_s))
+        i0 = int(rng.uniform(0, max(dur_s - b_dur, 1e-3)) * sr)
+        bn = int(b_dur * sr)
+        burst = rng.standard_normal(bn)
+        k = int(rng.integers(4, 64))
+        burst = np.convolve(burst, np.ones(k) / k, mode="same")  # lowpass shade
+        env = np.hanning(bn)
+        sig[i0 : i0 + bn] += burst * env
+    sig = sig / (np.abs(sig).max() + 1e-9) * rng.uniform(0.2, 0.6)
+    return sig.astype(np.float32)
+
+
+def make_demix_example(
+    rng: np.random.Generator, dur_s: float = 1.0, sr: int = 44100,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stereo 3-stem mixture -> (mix [2, T], stems [3, 2, T]) in the demixer's
+    music/effect/dialog order (``dialog-demix.py:113-119`` tree order)."""
+    n = int(dur_s * sr)
+
+    def stereo(x, width):
+        pan = rng.uniform(0.5 - width, 0.5 + width)
+        return np.stack([x * (1.0 - pan), x * pan])
+
+    music = stereo(synth_music_like(rng, dur_s, sr), 0.3)
+    effect = stereo(synth_effect_like(rng, dur_s, sr), 0.4)
+    dialog = stereo(synth_speech_like(rng, dur_s, sr, amp=0.4), 0.1)
+    stems = np.stack([music, effect, dialog])[:, :, :n].astype(np.float32)
+    mix = stems.sum(axis=0)
+    peak = max(np.abs(mix).max(), 1.0)
+    return (mix / peak).astype(np.float32), (stems / peak).astype(np.float32)
+
+
 def make_speaker_bank(rng: np.random.Generator, n_speakers: int):
     """Fixed per-speaker (f0, formants) profiles for speaker-ID training."""
     return [

@@ -193,3 +193,26 @@ class TestEnhanceBatch:
         # resume skips
         written2 = enhance_batch(tmp_path, backend="gtcrn", chunk_s=2.0)
         assert len(written2) == 0
+
+
+class TestTrainedDemixer:
+    from pathlib import Path as _P
+
+    DWEIGHTS = _P(__file__).resolve().parents[1] / "weights" / "demix_synthetic.npz"
+
+    @pytest.mark.skipif(not DWEIGHTS.exists(), reason="demix weights not shipped")
+    def test_shipped_demixer_improves_si_snr(self):
+        from speech_diarization_tpu.train.recipes import load_demixer, si_snr_db
+        from speech_diarization_tpu.train.synthetic import make_demix_example
+
+        model, params = load_demixer(self.DWEIGHTS)
+        fwd = jax.jit(lambda m: model.apply(params, m))
+        g = np.random.default_rng(555)
+        ms, ss = zip(*(make_demix_example(g, 1.0) for _ in range(3)))
+        mix, stems = np.stack(ms), np.stack(ss)
+        est = np.asarray(fwd(jnp.asarray(mix)))
+        b, s, c, t = est.shape
+        base = si_snr_db(np.broadcast_to(mix[:, None], stems.shape).reshape(-1, t),
+                         stems.reshape(-1, t))
+        sep = si_snr_db(est.reshape(-1, t), stems.reshape(-1, t))
+        assert sep - base >= 3.0, f"stem SI-SNR gain only {sep - base:.2f} dB"

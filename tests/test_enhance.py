@@ -157,3 +157,24 @@ class TestTrainedEnhancement:
         with caplog.at_level(logging.WARNING, logger="sdtpu.enhance"):
             enh_mod.make_enhance_fn("gtcrn")
         assert any("RANDOM" in r.message for r in caplog.records)
+
+
+class TestTrainedZipEnhancer:
+    ZWEIGHTS = Path(__file__).resolve().parents[1] / "weights" / "zipenhancer_synthetic.npz"
+
+    @pytest.mark.skipif(not ZWEIGHTS.exists(), reason="zipenhancer weights not shipped")
+    def test_shipped_zipenhancer_improves_si_snr(self):
+        from speech_diarization_tpu.models.port import load_params_npz
+        from speech_diarization_tpu.models.zipenhancer import ZipEnhancerModel
+        from speech_diarization_tpu.train.recipes import (
+            make_noisy_clean_batch, si_snr_db,
+        )
+
+        model = ZipEnhancerModel()
+        params = load_params_npz(self.ZWEIGHTS)
+        fwd = jax.jit(lambda y: model.apply(params, y))
+        g = np.random.default_rng(321)
+        noisy, clean = make_noisy_clean_batch(g, 6, 2.0)
+        enh = np.asarray(fwd(jnp.asarray(noisy)))
+        gain = si_snr_db(enh, clean) - si_snr_db(noisy, clean)
+        assert gain >= 3.0, f"SI-SNR gain only {gain:.2f} dB"
