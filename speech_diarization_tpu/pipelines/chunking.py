@@ -13,6 +13,7 @@ streaming (``gtcrn_wrap.py:101-153``, ``vad.py:44-48`` — SURVEY.md §5
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable
 
 import numpy as np
@@ -22,6 +23,50 @@ import jax.numpy as jnp
 
 
 GROUP_BUCKETS = (4, 8, 16, 32, 64)
+
+# jitted gather+model wrappers, keyed by (fn, chunk) so the traced program is
+# REUSED across calls (a closure-local jit would re-trace per file)
+_GROUP_FN_CACHE: dict = {}
+
+
+def _get_group_fn(fn: Callable, chunk: int) -> Callable:
+    """ONE dispatch per group: chunk gather + model fused under a single jit.
+    Eager per-chunk dynamic_slice ops cost a tunnel round trip each
+    (~25 ms x 43 chunks dominated the whole VAD stage before).  Falls back to
+    eager gather for functions that cannot be traced (host/numpy closures) —
+    the failure surfaces at trace time, before any device compile."""
+    key = (fn, chunk)
+    if key not in _GROUP_FN_CACHE:
+
+        def _gather(y, starts, n_pad):
+            segs = jax.vmap(
+                lambda s: jax.lax.dynamic_slice_in_dim(y, s, chunk))(starts)
+            if n_pad:
+                segs = jnp.pad(segs, ((0, n_pad), (0, 0)))
+            return segs
+
+        _jitted = partial(jax.jit, static_argnames=("n_pad",))(
+            lambda y, starts, n_pad: fn(_gather(y, starts, n_pad)))
+
+        def _eager(y, starts, n_pad):
+            return fn(_gather(y, starts, n_pad))
+
+        state = {"fn": None}
+
+        def dispatch(y, starts, n_pad):
+            if state["fn"] is None:
+                try:
+                    out = _jitted(y, starts, n_pad)
+                    state["fn"] = _jitted
+                    return out
+                except (jax.errors.TracerArrayConversionError,
+                        jax.errors.ConcretizationTypeError,
+                        TypeError, ValueError):
+                    state["fn"] = _eager
+            return state["fn"](y, starts, n_pad)
+
+        _GROUP_FN_CACHE[key] = dispatch
+    return _GROUP_FN_CACHE[key]
 
 
 def chunked_framewise(
@@ -81,16 +126,13 @@ def chunked_framewise(
     # signal; sacrifice `m` edge frames to the next chunk, whose copies have
     # real context (and overlap-m frames of left warmup for causal models).
     m = min(edge_margin_frames, max(overlap_frames - 1, 0))
+
+    _group_fn = _get_group_fn(fn, chunk)
     for g0_chunk in range(0, n_chunks, group):
         g1_chunk = min(g0_chunk + group, n_chunks)
-        # [G, chunk] view via shifted slices (chunks overlap by overlap_s)
-        segs = jnp.stack([
-            jax.lax.dynamic_slice_in_dim(yj, k * hop_samples, chunk)
-            for k in range(g0_chunk, g1_chunk)
-        ])
-        if segs.shape[0] < group:
-            segs = jnp.pad(segs, ((0, group - segs.shape[0]), (0, 0)))
-        probs_g = np.asarray(fn(segs))
+        starts = jnp.arange(g0_chunk, g1_chunk) * hop_samples
+        probs_g = np.asarray(
+            _group_fn(yj, starts, group - (g1_chunk - g0_chunk)))
         for j, k in enumerate(range(g0_chunk, g1_chunk)):
             lo = 0 if k == 0 else overlap_frames - m
             hi = frames_per_chunk if k == n_chunks - 1 else frames_per_chunk - m

@@ -66,15 +66,58 @@ def embed_windows(
     needed = (n_batches - 1) * batch * hop + span
     y_pad = jnp.pad(jnp.asarray(y), (0, max(0, needed - y.shape[-1])))
 
+    batch_fn = _get_batch_encode_fn(encode_fn, win, hop, span)
     outs = []
     for i in range(n_batches):
-        seg = jax.lax.dynamic_slice_in_dim(y_pad, i * batch * hop, span)
-        frames = frame_signal(seg, win, hop, pad_tail=False)  # [batch, win]
-        # keep results on device: async dispatch lets batch i+1 launch while
-        # batch i computes; one transfer at the end instead of per batch
-        outs.append(encode_fn(frames))
+        # slice + frame + encode fused in ONE dispatch (eager slices cost a
+        # tunnel round trip each); results stay on device so dispatch i+1
+        # overlaps compute i; one transfer at the end
+        outs.append(batch_fn(y_pad, i * batch * hop))
     embs = np.concatenate([np.asarray(o) for o in outs], axis=0)[:w]
     return embs
+
+
+# slice+frame+encode wrappers, keyed so traces are reused across files
+_BATCH_ENCODE_CACHE: dict = {}
+
+
+def _get_batch_encode_fn(encode_fn: EncodeFn, win: int, hop: int, span: int):
+    """Fused jitted batch step, with an eager fallback for encode functions
+    that cannot be traced (host/numpy probes, device_put-ing sharded
+    closures).  The fallback surfaces at TRACE time on the first call — no
+    device compile is attempted, so it cannot poison the axon process."""
+    import jax
+
+    key = (encode_fn, win, hop, span)
+    if key not in _BATCH_ENCODE_CACHE:
+
+        @jax.jit
+        def _jitted(y_pad, start):
+            seg = jax.lax.dynamic_slice_in_dim(y_pad, start, span)
+            frames = frame_signal(seg, win, hop, pad_tail=False)
+            return encode_fn(frames)
+
+        def _eager(y_pad, start):
+            seg = jax.lax.dynamic_slice_in_dim(y_pad, start, span)
+            frames = frame_signal(seg, win, hop, pad_tail=False)
+            return encode_fn(frames)
+
+        state = {"fn": None}
+
+        def dispatch(y_pad, start):
+            if state["fn"] is None:
+                try:
+                    out = _jitted(y_pad, start)
+                    state["fn"] = _jitted
+                    return out
+                except (jax.errors.TracerArrayConversionError,
+                        jax.errors.ConcretizationTypeError,
+                        TypeError, ValueError):
+                    state["fn"] = _eager
+            return state["fn"](y_pad, start)
+
+        _BATCH_ENCODE_CACHE[key] = dispatch
+    return _BATCH_ENCODE_CACHE[key]
 
 
 def segment_overlap_weights(
