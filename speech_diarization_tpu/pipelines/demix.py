@@ -23,7 +23,6 @@ from ..dsp.framing import frame_signal, num_frames
 from ..dsp.ola import ola_normalization, overlap_add
 from ..dsp.stft import hann_window
 from ..io.audio import read_audio, write_wav
-from ..utils.logging import get_logger
 from ..io.walk import expand_audios
 from ..models.demix import STEMS, DialogDemixer, Params
 from ..utils.logging import get_logger

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from .. import cluster as cluster_mod
 from ..segment.embed import embed_windows, segment_embeddings_from_grid, window_starts
-from ..segment.merge import merge_adjacent, merge_same_speaker
+from ..segment.merge import merge_adjacent
 from ..types import SegmentArray
 from ..utils.logging import get_logger
 
@@ -93,7 +93,7 @@ def segmentation_diarize(
     acts = np.asarray(seg_activities_fn(chunks))  # [n_chunks, F, K]
     hop_s = cfg.hop_ms / 1000.0
 
-    starts, ends, owners = [], [], []
+    starts, ends = [], []
     for c in range(n_chunks):
         for k in range(acts.shape[2]):
             for f0, f1 in _binarize_activity(acts[c, :, k], cfg):
@@ -102,7 +102,6 @@ def segmentation_diarize(
                 if e - s >= cfg.min_on_s:
                     starts.append(s)
                     ends.append(e)
-                    owners.append((c, k))
     if not starts:
         return SegmentArray.from_pairs([])
     local = SegmentArray(np.asarray(starts), np.asarray(ends))
