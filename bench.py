@@ -107,15 +107,20 @@ def main() -> None:
 
     # -- build the pipeline ---------------------------------------------------
     # bf16 matmuls, f32 pooling/stats (fidelity tested in tests/test_bf16.py).
-    # NOTE: the bench intentionally uses the FULL-SIZE ECAPA (the production
-    # compute profile) with random weights when no full-size checkpoint is
-    # shipped — the small synthetic-trained encoder would understate the load.
-    enc_weights = Path(__file__).resolve().parent / "weights" / "ecapa_synthetic.npz"
-    if os.environ.get("SDTPU_BENCH_ENCODER", "full") == "synthetic" and enc_weights.exists():
+    # The FULL-SIZE ECAPA is the production compute profile; the shipped
+    # full-size synthetic weights make segment/cluster/reassign load realistic
+    # (random weights collapse everything to 1 speaker). SDTPU_BENCH_ENCODER:
+    # trained (default, falls back to random if weights missing) | random.
+    enc_weights = (Path(__file__).resolve().parent
+                   / "weights" / "ecapa_synthetic_full.npz")
+    if (os.environ.get("SDTPU_BENCH_ENCODER", "trained") == "trained"
+            and enc_weights.exists()):
         from speech_diarization_tpu.train.recipes import load_speaker_encoder
 
+        log("encoder: shipped full-size synthetic weights")
         ecapa, ecapa_params = load_speaker_encoder(enc_weights, dtype=jnp.bfloat16)
     else:
+        log("encoder: full-size ECAPA, random weights")
         ecapa = EcapaModel(EcapaTdnn(dtype=jnp.bfloat16))
         ecapa_params = ecapa.init(jax.random.PRNGKey(0))
     encode_fn = jax.jit(partial(ecapa.encode_batch, ecapa_params))

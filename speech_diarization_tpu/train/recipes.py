@@ -89,9 +89,15 @@ def train_speaker_encoder_synthetic(
     seed: int = 0,
     net=None,
     out_path: str | Path | None = None,
+    utterance_cache: int = 0,
 ) -> tuple[dict, dict]:
     """Train a (small) ECAPA on synthetic speaker profiles with AAM-softmax;
-    returns (params, metrics with final loss + probe cluster purity)."""
+    returns (params, metrics with final loss + probe cluster purity).
+
+    ``utterance_cache > 0`` pre-generates that many utterances and samples
+    batches from the cache (fresh gain/pre-emphasis augmentation per draw) —
+    on TPU the ~50 ms/utterance host synthesis otherwise dominates the step.
+    """
     import optax as _optax
 
     from ..models.ecapa import EcapaModel, EcapaTdnn
@@ -109,6 +115,21 @@ def train_speaker_encoder_synthetic(
     opt_state = opt.init(params)
     rng = np.random.default_rng(seed)
     bank = make_speaker_bank(rng, n_speakers)
+
+    if utterance_cache:
+        cw, cl = make_speaker_batch(rng, bank, utterance_cache,
+                                    preprocess_aug=False)
+
+        def make_speaker_batch(g, _bank, b, preprocess_aug=True):  # noqa: F811
+            idx = g.integers(0, len(cw), size=b)
+            ws = cw[idx].copy()
+            if preprocess_aug:
+                for i in range(b):
+                    if g.uniform() < 0.5:
+                        ws[i, 1:] = ws[i, 1:] - 0.97 * ws[i, :-1]
+                    gain = 10.0 ** (g.uniform(-12.0, 6.0) / 20.0)
+                    ws[i] = np.clip(ws[i] * gain, -0.99, 0.99)
+            return ws, cl[idx]
 
     def loss_fn(p, wavs, labels):
         emb = model.encode_batch(p, wavs)
