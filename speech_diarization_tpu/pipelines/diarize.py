@@ -88,8 +88,13 @@ class DiarizationPipeline:
         if encode_fn is None:
             from pathlib import Path
 
-            default = (Path(__file__).resolve().parents[2]
-                       / "weights" / "ecapa_synthetic.npz")
+            wdir = Path(__file__).resolve().parents[2] / "weights"
+            default = next(
+                (wdir / n for n in ("ecapa_synthetic_full.npz",
+                                    "ecapa_synthetic.npz")
+                 if (wdir / n).exists()),
+                wdir / "ecapa_synthetic.npz",
+            )
             if default.exists():
                 from ..train.recipes import load_speaker_encoder
 
