@@ -33,7 +33,9 @@ import numpy as np
 
 SR = 16000
 SMALL_S = 60.0    # first bucket: compile + time this before anything big
-FULL_S = 600.0    # headline run: 10 minutes of audio
+# headline run: 10 minutes of audio (SDTPU_BENCH_FULL_S=3600 for the 1-hr
+# BASELINE config-4 measurement)
+FULL_S = float(os.environ.get("SDTPU_BENCH_FULL_S", "600"))
 FULL_BUDGET_S = float(os.environ.get("SDTPU_BENCH_BUDGET_S", "300"))
 
 

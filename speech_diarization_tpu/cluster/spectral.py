@@ -112,15 +112,22 @@ def _spectral_labels(
     a_dense = (aff >= thr).astype(aff.dtype)
     a_dense = 0.5 * (a_dense + a_dense.T)
 
-    ks, gaps_max, vecs_all = [], [], []
+    ks, vecs_all = [], []
     for a in (a_thr, a_dense):
         eigvals, eigvecs = _laplacian_eig(a)
         gaps = jnp.where(allowed, eigvals[1 : kmax + 1] - eigvals[:kmax], -jnp.inf)
         ks.append(jnp.argmax(gaps) + 1)
-        gaps_max.append(jnp.max(gaps))
         vecs_all.append(eigvecs)
 
-    best = jnp.argmax(jnp.stack(gaps_max))
+    # Candidate selection by MODE SEPARATION, not gap size: a near-complete
+    # dense graph always carries a large trivial k=1 connectivity gap
+    # (lambda_2 ~ 0.55), which out-competes a genuine k-block gap once N is
+    # large enough for above-threshold bridge edges to thin the block
+    # structure (measured: correct at 713 segments, collapsed to k=1 at 1435
+    # on the same audio).  The threshold graph is trusted whenever the
+    # similarity distribution is bimodal; the dense fallback serves the
+    # unimodal case (where tau already degraded to keep-everything anyway).
+    best = jnp.where(sep >= _MIN_MODE_SEP, 0, 1)
     k = jnp.stack(ks)[best].astype(jnp.int32)
     eigvecs = jnp.stack(vecs_all)[best]
     # static width, but columns >= k are zeroed (they oscillate *within*
@@ -169,25 +176,24 @@ def _spectral_labels_np(
         if (~assign).any():
             c[1] = sims[~assign].mean()
     tau = 0.5 * (c[0] + c[1])
-    if c[1] - c[0] < _MIN_MODE_SEP:
-        tau = sims.min() - 1.0
-    a_thr = (aff >= tau).astype(np.float64)
-    a_thr = 0.5 * (a_thr + a_thr.T)
+    bimodal = c[1] - c[0] >= _MIN_MODE_SEP
+    if bimodal:
+        a = (aff >= tau).astype(np.float64)
+    else:
+        # unimodal: dense top-m fallback (see the jit path's selection note —
+        # trusted only here, because its trivial k=1 connectivity gap would
+        # out-compete genuine block gaps at large N)
+        m = int(np.clip(round(_DENSE_Q * n), 2, n))
+        thr = np.partition(aff, n - m, axis=1)[:, n - m : n - m + 1]
+        a = (aff >= thr).astype(np.float64)
+    a = 0.5 * (a + a.T)
 
-    m = int(np.clip(round(_DENSE_Q * n), 2, n))
-    thr = np.partition(aff, n - m, axis=1)[:, n - m : n - m + 1]
-    a_dense = (aff >= thr).astype(np.float64)
-    a_dense = 0.5 * (a_dense + a_dense.T)
-
-    best_gap, k, spec_vecs = -np.inf, 1, None
-    for a in (a_thr, a_dense):
-        deg = a.sum(axis=1)
-        dsq = 1.0 / np.sqrt(np.maximum(deg, 1e-8))
-        lap = np.eye(n) - (dsq[:, None] * a) * dsq[None, :]
-        eigvals, eigvecs = np.linalg.eigh(lap)
-        gaps = np.where(allowed, eigvals[1 : kmax + 1] - eigvals[:kmax], -np.inf)
-        if gaps.max() > best_gap:
-            best_gap, k, spec_vecs = gaps.max(), int(np.argmax(gaps)) + 1, eigvecs
+    deg = a.sum(axis=1)
+    dsq = 1.0 / np.sqrt(np.maximum(deg, 1e-8))
+    lap = np.eye(n) - (dsq[:, None] * a) * dsq[None, :]
+    eigvals, spec_vecs = np.linalg.eigh(lap)
+    gaps = np.where(allowed, eigvals[1 : kmax + 1] - eigvals[:kmax], -np.inf)
+    k = int(np.argmax(gaps)) + 1
 
     spec = spec_vecs[:, :k]
     spec = spec / (np.linalg.norm(spec, axis=1, keepdims=True) + 1e-9)

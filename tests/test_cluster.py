@@ -157,3 +157,22 @@ class TestHdbscan:
         for method in ["spectral", "ahc", "hdbscan", "hdbscan2"]:
             labels = cluster.cluster_embeddings(x, method=method)
             assert labels.shape == (40,)
+
+
+class TestSpectralScaleRegression:
+    """1-hr 3-speaker regression: 1435 real segment embeddings from the TPU
+    pipeline (tests/data/segembs_1hr_3spk.npz).  The dense fallback's trivial
+    k=1 connectivity gap (~0.55) used to out-compete the genuine 3-block gap
+    once enough above-threshold bridge edges thinned the block structure
+    (correct at 713 segments, k=1 at 1435); candidates are now selected by
+    similarity-mode separation instead of gap size."""
+
+    def test_full_hour_segments_cluster_to_three(self):
+        from pathlib import Path
+
+        data = np.load(Path(__file__).parent / "data" / "segembs_1hr_3spk.npz")
+        embs = data["embs"].astype(np.float32)
+        assert embs.shape[0] == 1435
+        for n in (713, 1435):
+            labels = cluster.spectral_cluster(embs[:n], max_speakers=8)
+            assert labels.max() + 1 == 3, f"n={n}: got {labels.max() + 1}"

@@ -127,3 +127,55 @@ class TestJer:
         hyp = SegmentArray(np.array([0.0]), np.array([4.0]), np.array([0]))
         jer = jaccard_error_rate(truth, hyp)
         assert 0.45 < jer < 0.55  # one perfect, one fully missed
+
+
+class TestEnhanceChain:
+    """BASELINE config 3: GTCRN enhancement chained in front of VAD+embed on a
+    noisy recording (the stage the reference left commented out,
+    diarization_baseline.py:333-338)."""
+
+    WEIGHTS = Path(__file__).resolve().parents[1] / "weights" / "gtcrn_synthetic.npz"
+
+    @pytest.mark.skipif(not WEIGHTS.exists(), reason="gtcrn weights not shipped")
+    def test_enhancement_improves_noisy_diarization(self):
+        from functools import partial
+
+        from speech_diarization_tpu.config import EnhanceConfig
+        from speech_diarization_tpu.models.vad import VadModel
+        from speech_diarization_tpu.train.recipes import load_vad_weights
+        from speech_diarization_tpu.train.synthetic import make_conversation
+
+        g = np.random.default_rng(77)
+        wave, (s, e, k) = make_conversation(g, 30.0, n_speakers=2)
+        # HEAVY noise: the regime the enhancement stage exists for. At this
+        # level the plain chain collapses (measured 100% DER: the VAD drowns)
+        # while the enhanced chain stays usable (~11%). At LIGHT noise
+        # enhancement artifacts actually cost a few DER points — the likely
+        # reason the reference shipped this stage commented out
+        # (diarization_baseline.py:333-338); it is a switch, not a default.
+        noisy = (wave + 0.2 * g.standard_normal(len(wave))).astype(np.float32)
+        truth = SegmentArray(s, e, k)
+
+        vad = VadModel()
+        vad_fn = jax.jit(partial(
+            vad.probs,
+            load_vad_weights(Path(__file__).resolve().parents[1]
+                             / "weights" / "vad_synthetic.npz")))
+        base = dict(
+            audio=AudioConfig(target_lufs=None, preemphasis=None),
+            cluster=ClusterConfig(method="ahc", max_speakers=4),
+        )
+        plain = DiarizationPipeline(
+            DiarizationConfig(**base), vad_probs_fn=vad_fn)
+        enhanced = DiarizationPipeline(
+            DiarizationConfig(**base, enhance=EnhanceConfig(enabled=True)),
+            vad_probs_fn=vad_fn)
+
+        der_plain = diarization_error_rate(
+            truth, plain((noisy, 16000)).segments, collar_s=0.25).der
+        der_enh = diarization_error_rate(
+            truth, enhanced((noisy, 16000)).segments, collar_s=0.25).der
+        # at heavy noise the enhanced chain must massively beat the plain one
+        # (plain measured 88-100% DER; enhanced 11-36% across noise draws)
+        assert der_enh < der_plain - 0.30, (der_plain, der_enh)
+        assert der_enh < 0.45, der_enh
