@@ -99,19 +99,42 @@ def corpus_diarize(
     sr = (cfg or DiarizationConfig()).audio.sample_rate
 
     def worker(dev):
+        from concurrent.futures import ThreadPoolExecutor
+
         factory = pipeline_factory or (
             lambda: DiarizationPipeline(cfg, **pipeline_kwargs)
         )
-        with jax.default_device(dev):
+        with jax.default_device(dev), ThreadPoolExecutor(1) as prefetcher:
+
             pipe = factory()
-            while True:
+
+            def get():
                 try:
-                    idx, src = work.get_nowait()
+                    return work.get_nowait()
                 except queue.Empty:
-                    return
+                    return None
+
+            def prefetch(item):
+                # decode + pad + async device upload of the NEXT file while
+                # the current one computes (the upload otherwise serializes
+                # ~38 MB/file into the wall time on the axon tunnel)
+                idx_, src_ = item
+                try:
+                    if isinstance(src_, (str, Path)) or isinstance(src_, tuple):
+                        return idx_, src_, pipe.prefetch(src_)
+                except Exception:
+                    pass  # fall back to the in-line load path
+                return idx_, src_, None
+
+            cur = get()
+            cur = cur and (cur[0], cur[1], None)
+            while cur is not None:
+                nxt_item = get()
+                nxt_fut = prefetcher.submit(prefetch, nxt_item) if nxt_item else None
+                idx, src, pre = cur
                 try:
                     t0 = time.perf_counter()
-                    result = pipe(src)
+                    result = pipe(pre if pre is not None else src)
                     dt = time.perf_counter() - t0
                     dur = _source_duration(src, result, sr)
                     if rttm_dir is not None and isinstance(src, (str, Path)):
@@ -135,6 +158,7 @@ def corpus_diarize(
                             "error": f"{type(e).__name__}: {e}",
                         })
                     log.warning("corpus file failed: %s (%s)", src, e)
+                cur = nxt_fut.result() if nxt_fut is not None else None
 
     t0 = time.perf_counter()
     threads = [threading.Thread(target=worker, args=(d,)) for d in devices]

@@ -157,13 +157,30 @@ class DiarizationPipeline:
             y = preemphasis(y, cfg.preemphasis)
         return jnp.clip(y, -0.99, 0.99)
 
-    def load(self, source) -> tuple[jnp.ndarray, int]:
+    def prefetch(self, source) -> tuple[jnp.ndarray, int, int]:
+        """Host decode + bucket pad + async device upload (``device_put``
+        returns immediately), so a corpus worker can overlap file i+1's
+        upload with file i's compute.  Returns (device_wave, n_valid, sr) —
+        feed the triple back through ``__call__``/``load``."""
         cfg = self.cfg.audio
         y, sr = read_audio(source, target_sr=cfg.sample_rate, mono=True)
         t = y.shape[-1]
         bucket = int(self._PAD_BUCKET_S * sr)
         t_pad = max(bucket, -(-t // bucket) * bucket)
-        yd = jnp.asarray(np.pad(y, (0, t_pad - t)))
+        yd = jax.device_put(np.pad(y, (0, t_pad - t)))
+        return yd, t, sr
+
+    def load(self, source) -> tuple[jnp.ndarray, int]:
+        cfg = self.cfg.audio
+        if isinstance(source, tuple) and len(source) == 3 and isinstance(
+                source[0], jax.Array):
+            yd, t, sr = source  # prefetched (device_wave, n_valid, sr)
+        else:
+            y, sr = read_audio(source, target_sr=cfg.sample_rate, mono=True)
+            t = y.shape[-1]
+            bucket = int(self._PAD_BUCKET_S * sr)
+            t_pad = max(bucket, -(-t // bucket) * bucket)
+            yd = jnp.asarray(np.pad(y, (0, t_pad - t)))
         if self.enhance_fn is not None:
             yd = self.enhance_fn(yd)
         if not hasattr(self, "_preprocess_jit"):
