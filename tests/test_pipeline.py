@@ -201,3 +201,23 @@ class TestIo:
         assert len(files) == 2
         single, parent = expand_audios(tmp_path / "y.wav")
         assert single == [(tmp_path / "y.wav").resolve()]
+
+
+class TestPrefetchPath:
+    def test_prefetched_triple_equals_direct_load(self, tmp_path):
+        from speech_diarization_tpu.config import AudioConfig, DiarizationConfig
+        from speech_diarization_tpu.io.audio import write_wav
+        from speech_diarization_tpu.pipelines.diarize import DiarizationPipeline
+        from speech_diarization_tpu.train.synthetic import make_tone_conversation
+
+        wave, _ = make_tone_conversation(3)
+        path = tmp_path / "c.wav"
+        write_wav(path, wave, 16000)
+        pipe = DiarizationPipeline(
+            DiarizationConfig(audio=AudioConfig(target_lufs=None, preemphasis=None)),
+            encode_fn=lambda w: w[:, :8])
+        direct, sr1 = pipe.load(path)
+        pre = pipe.prefetch(path)
+        via, sr2 = pipe.load(pre)
+        assert sr1 == sr2
+        np.testing.assert_allclose(np.asarray(direct), np.asarray(via), atol=1e-6)
