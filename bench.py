@@ -96,7 +96,6 @@ def main() -> None:
 
     from speech_diarization_tpu.config import DiarizationConfig, ClusterConfig
     from speech_diarization_tpu.models.ecapa import EcapaModel, EcapaTdnn
-    from speech_diarization_tpu.models.vad import VadModel
     from speech_diarization_tpu.pipelines.diarize import DiarizationPipeline
 
     # -- milestone 0: device contact (the axon tunnel can take minutes) ------
@@ -125,21 +124,37 @@ def main() -> None:
         log("encoder: full-size ECAPA, random weights")
         ecapa = EcapaModel(EcapaTdnn(dtype=jnp.bfloat16))
         ecapa_params = ecapa.init(jax.random.PRNGKey(0))
-    encode_fn = jax.jit(partial(ecapa.encode_batch, ecapa_params))
 
-    weights = Path(__file__).resolve().parent / "weights" / "vad_synthetic.npz"
+    # VAD backend: 'neural' prefers the scan-free conv TCN weights (the GRU's
+    # sequential scan was 71% of the 600 s wall), falling back to the GRU
+    # weights; 'gru' forces the GRU; 'energy' uses the deterministic fallback.
+    wdir = Path(__file__).resolve().parent / "weights"
+    vad_mode = os.environ.get("SDTPU_BENCH_VAD", "neural")
     vad_probs_fn = None
-    if weights.exists() and os.environ.get("SDTPU_BENCH_VAD", "neural") == "neural":
-        # lax.scan GRU — confirmed supported on axon (STATUS.md); the energy
-        # VAD fallback is selectable via SDTPU_BENCH_VAD=energy.
-        from speech_diarization_tpu.train.recipes import load_vad_weights
+    if vad_mode in ("neural", "gru"):
+        from speech_diarization_tpu.train.recipes import load_vad
 
-        vad = VadModel()
-        vad_params = load_vad_weights(weights)
-        vad_probs_fn = jax.jit(partial(vad.probs, vad_params))
+        conv_w = wdir / "vad_conv_synthetic.npz"
+        gru_w = wdir / "vad_synthetic.npz"
+        pick = conv_w if (vad_mode == "neural" and conv_w.exists()) else gru_w
+        if pick.exists():
+            log(f"vad: {pick.name}")
+            vad, vad_params = load_vad(pick)
+            vad_probs_fn = jax.jit(partial(vad.probs, vad_params))
 
-    cfg = DiarizationConfig(cluster=ClusterConfig(method="spectral", max_speakers=8))
-    pipe = DiarizationPipeline(cfg, encode_fn=encode_fn, vad_probs_fn=vad_probs_fn)
+    # grid execution: 'auto' resolves to the streaming trunk-shared grid
+    # (one trunk pass + per-window pooling, ~10x less embed compute than
+    # per-window forwards); SDTPU_BENCH_GRID=windowed measures the old path.
+    from speech_diarization_tpu.config import EmbedConfig
+
+    grid_backend = os.environ.get("SDTPU_BENCH_GRID", "auto")
+    log(f"grid backend: {grid_backend}")
+    cfg = DiarizationConfig(
+        cluster=ClusterConfig(method="spectral", max_speakers=8),
+        embed=EmbedConfig(grid_backend=grid_backend),
+    )
+    pipe = DiarizationPipeline(cfg, encoder=(ecapa, ecapa_params),
+                               vad_probs_fn=vad_probs_fn)
 
     # -- milestone 1: 60 s bucket --------------------------------------------
     wave_s = synth_audio(SMALL_S)

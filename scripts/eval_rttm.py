@@ -55,11 +55,10 @@ def build_pipeline(args):
 
     vad_fn = None
     if args.vad_weights and Path(args.vad_weights).exists():
-        from speech_diarization_tpu.models.vad import VadModel
-        from speech_diarization_tpu.train.recipes import load_vad_weights
+        from speech_diarization_tpu.train.recipes import load_vad
 
-        vad = VadModel()
-        vad_fn = jax.jit(partial(vad.probs, load_vad_weights(args.vad_weights)))
+        vad, vad_params = load_vad(args.vad_weights)
+        vad_fn = jax.jit(partial(vad.probs, vad_params))
 
     return DiarizationPipeline(cfg, encode_fn=encode_fn, vad_probs_fn=vad_fn)
 

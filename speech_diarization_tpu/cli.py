@@ -98,15 +98,23 @@ def build_pipeline_kwargs(args: argparse.Namespace) -> dict:
     kwargs["encode_fn"] = encode_fn
     if args.vad_backend == "neural":
         from .models.vad import VadModel
-        from .train.recipes import load_vad_weights
+        from .train.recipes import load_vad
 
-        model = VadModel(sample_rate=args.sample_rate)
         weights = args.vad_weights
         if weights is None:
-            shipped = Path(__file__).resolve().parents[1] / "weights" / "vad_synthetic.npz"
-            weights = str(shipped) if shipped.exists() else None
-        params = (load_vad_weights(weights) if weights
-                  else model.init(jax.random.PRNGKey(1)))
+            wdir = Path(__file__).resolve().parents[1] / "weights"
+            # prefer the scan-free conv TCN (fast batch path); the GRU net
+            # remains the Silero-parity/streaming backend
+            shipped = next((wdir / n for n in ("vad_conv_synthetic.npz",
+                                               "vad_synthetic.npz")
+                            if (wdir / n).exists()), None)
+            weights = str(shipped) if shipped else None
+        if weights:
+            model, params = load_vad(weights)
+            model.sample_rate = args.sample_rate
+        else:
+            model = VadModel(sample_rate=args.sample_rate)
+            params = model.init(jax.random.PRNGKey(1))
         kwargs["vad_probs_fn"] = jax.jit(partial(model.probs, params))
     return kwargs
 

@@ -68,6 +68,15 @@ class EmbedConfig:
     # 'bucketed': per-segment snippets padded to bucketed lengths (reference-style,
     #            mirrors pad-to-batch-max at anti_stick_diarize.py:150-169).
     mode: str = "grid"
+    # dense-grid execution strategy:
+    # 'windowed' : per-window encoder forwards (reference-faithful; required
+    #              for ported checkpoints whose stats are per-utterance).
+    # 'streaming': ONE shared trunk pass with sliding SE/mean-norm statistics
+    #              + per-window attentive pooling — removes the ~10x trunk
+    #              redundancy of the 1 s / 100 ms grid (win/hop overlap).
+    # 'auto'     : streaming when the encoder exposes a trunk (shipped ECAPA
+    #              weights), windowed otherwise.
+    grid_backend: str = "auto"
     # NOTE: the flagship pipeline's dense grid geometry comes from
     # ResegConfig.win_s/hop_s (one grid serves SCD + embeddings + reassign);
     # these fields parameterize only the standalone segment-embedding helpers.

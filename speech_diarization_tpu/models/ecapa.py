@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..dsp.mel import fbank_batch
-from .layers import batch_norm_apply, conv1d_torch
+from .layers import batch_norm_apply, conv1d_torch, sliding_mean_time
 
 Params = dict[str, Any]
 
@@ -134,7 +134,7 @@ class EcapaTdnn:
 
     # ------------------------------------------------------------ apply ------
     def _se_res2block(self, p: Params, x: jax.Array, dilation: int,
-                      train: bool = False) -> jax.Array:
+                      train: bool = False, se_win: int | None = None) -> jax.Array:
         c, s = self.channels, self.scale
         residual = x
         y = _conv_bn_apply(p["conv1"], x, padding=0, train=train)
@@ -151,24 +151,43 @@ class EcapaTdnn:
             outs.append(prev)
         y = jnp.concatenate(outs, axis=1)
         y = _conv_bn_apply(p["conv2"], y, padding=0, train=train)
-        # squeeze-excitation
+        # squeeze-excitation: global mean per utterance, or — in streaming
+        # mode — a sliding mean so each frame's gate matches what an isolated
+        # se_win-frame crop around it would compute (the SE conv1x1s are
+        # pointwise, so feeding [B, C, T] means instead of [B, C, 1] yields a
+        # per-frame gate at negligible extra cost)
         dt = y.dtype
-        zm = jnp.mean(y, axis=2, keepdims=True)  # [B, C, 1]
+        if se_win is None:
+            zm = jnp.mean(y, axis=2, keepdims=True)  # [B, C, 1]
+        else:
+            zm = sliding_mean_time(y, se_win)  # [B, C, T]
         z = jax.nn.relu(conv1d_torch(zm, p["se_w1"].astype(dt), p["se_b1"].astype(dt)))
         z = jax.nn.sigmoid(conv1d_torch(z, p["se_w2"].astype(dt), p["se_b2"].astype(dt)))
         return residual + y * z
 
-    def apply(self, params: Params, feats: jax.Array, train: bool = False) -> jax.Array:
-        """feats [B, T, n_mels] -> [B, emb_dim] (f32)."""
+    def trunk(self, params: Params, feats: jax.Array, train: bool = False,
+              se_win: int | None = None) -> jax.Array:
+        """Convolutional trunk: feats [B, T, n_mels] -> [B, 3C, T] post-MFA
+        features.  Shift-invariant when ``se_win`` is set (streaming mode), so
+        one whole-file pass can serve every sliding window (pool_grid)."""
         x = jnp.transpose(feats, (0, 2, 1)).astype(self.dtype)  # [B, M, T]
         x = _conv_bn_apply(params["stem"], x, padding=2, train=train)
         block_outs = []
         for i, d in enumerate(self.dilations):
-            x = self._se_res2block(params[f"block{i}"], x, d, train=train)
+            x = self._se_res2block(params[f"block{i}"], x, d, train=train,
+                                   se_win=se_win)
             block_outs.append(x)
         x = jnp.concatenate(block_outs, axis=1)  # [B, 3C, T]
-        x = _conv_bn_apply(params["mfa"], x, train=train)
+        return _conv_bn_apply(params["mfa"], x, train=train)
 
+    def apply(self, params: Params, feats: jax.Array, train: bool = False) -> jax.Array:
+        """feats [B, T, n_mels] -> [B, emb_dim] (f32)."""
+        x = self.trunk(params, feats, train=train)
+        return self.asp_head(params, x, train=train)
+
+    def asp_head(self, params: Params, x: jax.Array, train: bool = False) -> jax.Array:
+        """Attentive-stats pooling + FC: trunk features [B, 3C, T] ->
+        embeddings [B, emb_dim] (f32)."""
         # attentive statistical pooling with global context (SpeechBrain
         # AttentiveStatisticsPooling semantics: eps=1e-12, E[(x-mu)^2] form,
         # attention pre-projection is a full TDNNBlock conv->ReLU->BN)
@@ -232,3 +251,55 @@ class EcapaModel:
     def encode_batch(self, params: Params, wavs: jax.Array) -> jax.Array:
         feats = fbank_batch(wavs, sample_rate=self.sample_rate, n_mels=self.net.n_mels)
         return self.net.apply(params, feats)
+
+    # ------------------------------------------------------- streaming -------
+    def encode_grid_chunk(
+        self,
+        params: Params,
+        y: jax.Array,  # [T_chunk] waveform slice incl. margins
+        n_windows: int,
+        margin: int,  # samples of context on each side (multiple of hop)
+        win: int,  # window length in samples
+        hop: int,  # grid hop in samples
+    ) -> jax.Array:
+        """Streaming sliding-window embeddings: ONE trunk pass over the whole
+        chunk, then per-window attentive-stats pooling — [n_windows, emb_dim].
+
+        The dense grid windows overlap win/hop-fold (10x at the default
+        1 s / 100 ms grid), so the per-window forward of ``encode_batch``
+        recomputes every trunk FLOP 10x.  Here the trunk runs once with
+        *sliding* statistics (sliding SE means, sliding fbank mean-norm) so
+        its features are shift-invariant, and only the cheap ASP head runs
+        per window.  Window ``i`` pools trunk frames starting at
+        ``(margin + i*hop) / mel_hop``.
+
+        Semantics differ from ``encode_batch`` in three harmless ways: no
+        per-window reflect pad at window edges (windows see REAL left/right
+        context — strictly more information), SE/mean-norm statistics are
+        centered per frame instead of per window, and the fbank mean is a
+        sliding window rather than an utterance mean.  Quality is gated by
+        the DER harness, equivalence by tests/test_streaming_ecapa.py.
+        """
+        mel_hop = int(self.sample_rate * 10 // 1000)
+        assert margin % hop == 0 and hop % mel_hop == 0 and win % mel_hop == 0
+        win_f = win // mel_hop + 1  # frames per window (center=True: +1)
+        hop_f = hop // mel_hop
+        from ..dsp.mel import log_mel_spectrogram
+
+        feats = log_mel_spectrogram(
+            y[None], sample_rate=self.sample_rate, n_mels=self.net.n_mels
+        )  # [1, T_f, M]
+        feats = feats - jnp.swapaxes(
+            sliding_mean_time(jnp.swapaxes(feats, 1, 2), win_f), 1, 2)
+        x = self.net.trunk(params, feats, se_win=win_f)[0]  # [CC, T_f]
+
+        # frame the time axis into the window grid, then pool each window
+        from ..dsp.framing import frame_signal
+
+        first = margin // mel_hop
+        need_f = first + (n_windows - 1) * hop_f + win_f
+        if x.shape[-1] < need_f:
+            x = jnp.pad(x, ((0, 0), (0, need_f - x.shape[-1])))
+        xw = frame_signal(x, win_f, hop_f, pad_tail=False)  # [CC, n, win_f]
+        xw = jnp.swapaxes(xw, 0, 1)[first // hop_f:][:n_windows]  # [W, CC, win_f]
+        return self.net.asp_head(params, xw)

@@ -137,6 +137,29 @@ def batch_norm_apply(
     return x * scale.astype(x.dtype) + shift.astype(x.dtype)
 
 
+def sliding_mean_time(x: jax.Array, win: int) -> jax.Array:
+    """Centered moving average over the trailing (time) axis, same length.
+
+    Edge positions average over the clamped valid range (a shrinking window),
+    so no padding bias enters.  Computed as a cumulative-sum difference in
+    f32: one pass regardless of ``win``, and shift-invariant — every sliding
+    window sees the same statistic it would get from an isolated crop (up to
+    edge effects), which is what lets a whole-file trunk pass stand in for
+    per-window forwards (models/ecapa.py streaming mode).
+    """
+    t = x.shape[-1]
+    h0 = win // 2
+    h1 = win - 1 - h0
+    cs = jnp.cumsum(x.astype(jnp.float32), axis=-1)
+    cs = jnp.concatenate([jnp.zeros_like(cs[..., :1]), cs], axis=-1)
+    pos = jnp.arange(t)
+    hi = jnp.clip(pos + h1 + 1, 0, t)
+    lo = jnp.clip(pos - h0, 0, t)
+    s = jnp.take(cs, hi, axis=-1) - jnp.take(cs, lo, axis=-1)
+    cnt = (hi - lo).astype(jnp.float32)
+    return (s / cnt).astype(x.dtype)
+
+
 def prelu(x: jax.Array, alpha: jax.Array, channel_axis: int = 1) -> jax.Array:
     """``nn.PReLU`` with per-channel (or scalar) slope."""
     if alpha.ndim == 0 or alpha.shape[0] == 1:

@@ -84,6 +84,65 @@ class VadNet:
         return jax.nn.sigmoid(logits)
 
 
+class VadConvNet:
+    """Scan-free VAD: causal dilated-conv TCN, log-mel [B,T,M] -> prob [B,T].
+
+    The GRU VadNet pays TPU wall-clock per scan STEP (~1.6 ms each on the
+    axon chip — the VAD stage was 71% of the 600 s pipeline wall).  This TCN
+    has no recurrence at all: a stack of causal dilated convs with residual
+    connections, receptive field ``1 + (k-1)*sum(dilations)`` frames
+    (~1.27 s at defaults) — comparable context to the stacked-GRU's practical
+    memory, evaluated as a handful of fully-parallel MXU convs.  Same
+    ``apply`` contract as :class:`VadNet`, so :class:`VadModel` and the
+    chunked runner work unchanged.
+    """
+
+    def __init__(self, n_mels: int = 40, channels: int = 96,
+                 dilations: tuple[int, ...] = (1, 2, 4, 8, 16, 32),
+                 kernel: int = 3):
+        self.n_mels = n_mels
+        self.channels = channels
+        self.dilations = dilations
+        self.kernel = kernel
+
+    @property
+    def receptive_field(self) -> int:
+        return 1 + (self.kernel - 1) * sum(self.dilations) + 4  # + stem k5
+
+    def init(self, key: jax.Array) -> Params:
+        keys = iter(jax.random.split(key, 2 * len(self.dilations) + 4))
+        he = jax.nn.initializers.he_normal()
+        c, m, k = self.channels, self.n_mels, self.kernel
+        p: Params = {
+            "stem_w": he(next(keys), (c, m, 5)),
+            "stem_b": jnp.zeros((c,)),
+            "out_w": he(next(keys), (1, c, 1)),
+            "out_b": jnp.zeros((1,)),
+        }
+        for i in range(len(self.dilations)):
+            p[f"block{i}_w1"] = he(next(keys), (c, c, k))
+            p[f"block{i}_b1"] = jnp.zeros((c,))
+            p[f"block{i}_w2"] = he(next(keys), (c, c, 1))
+            p[f"block{i}_b2"] = jnp.zeros((c,))
+        return p
+
+    def apply(self, params: Params, feats: jax.Array) -> jax.Array:
+        """feats [B, T, M] -> probs [B, T]; strictly causal (left-pad only)."""
+        x = jnp.transpose(feats, (0, 2, 1))  # [B, M, T]
+        x = jnp.pad(x, ((0, 0), (0, 0), (4, 0)))
+        x = jax.nn.silu(conv1d_torch(x, params["stem_w"], params["stem_b"]))
+        k = self.kernel
+        for i, d in enumerate(self.dilations):
+            h = jnp.pad(x, ((0, 0), (0, 0), ((k - 1) * d, 0)))
+            h = jax.nn.silu(
+                conv1d_torch(h, params[f"block{i}_w1"], params[f"block{i}_b1"],
+                             dilation=d))
+            h = conv1d_torch(h, params[f"block{i}_w2"], params[f"block{i}_b2"])
+            x = jax.nn.silu(x + h)
+        logits = conv1d_torch(x, params["out_w"], params["out_b"])[:, 0, :]
+        return jax.nn.sigmoid(logits)
+
+
 class VadModel:
     """Waveform-level wrapper: [B, T_samples] -> per-10ms-hop probabilities.
 

@@ -38,6 +38,7 @@ from ..segment import (
     conservative_merge,
     embed_segments_bucketed,
     embed_windows,
+    embed_windows_streaming,
     frame_reassign,
     merge_adjacent,
     scd_split,
@@ -81,10 +82,18 @@ class DiarizationPipeline:
         encode_fn: Callable | None = None,
         vad_probs_fn: Callable | None = None,
         enhance_fn: Callable | None = None,
+        encoder: tuple | None = None,
     ):
         self.cfg = cfg or DiarizationConfig()
         sr = self.cfg.audio.sample_rate
 
+        # (model, params) pair — enables the streaming trunk-shared grid
+        # (segment/embed.embed_windows_streaming); a bare encode_fn closure
+        # can only run the windowed grid.
+        self._grid_model, self._grid_params = encoder or (None, None)
+        if encode_fn is None and encoder is not None:
+            model, params = encoder
+            encode_fn = jax.jit(partial(model.encode_batch, params))
         if encode_fn is None:
             from pathlib import Path
 
@@ -111,6 +120,7 @@ class DiarizationPipeline:
                 )
                 model = EcapaModel()
                 params = model.init(jax.random.PRNGKey(0))
+            self._grid_model, self._grid_params = model, params
             encode_fn = jax.jit(partial(model.encode_batch, params))
         self.encode_fn = encode_fn
 
@@ -214,11 +224,32 @@ class DiarizationPipeline:
         # one dense embedding grid serves SCD + segment embeddings + reassign
         grid_win_s = cfg.reseg.win_s
         grid_hop_s = cfg.reseg.hop_s
+        backend = cfg.embed.grid_backend
+        # 'auto' uses the streaming grid only for encoders TRAINED under
+        # streaming statistics: per-window-trained weights lose real DER
+        # through the sliding-stat trunk (0.9% -> 6.0% measured on the
+        # synthetic selftest), so they stay on the windowed grid.
+        streaming = backend == "streaming" or (
+            backend == "auto"
+            and getattr(self._grid_model, "streaming_trained", False)
+            and hasattr(self._grid_model, "encode_grid_chunk"))
+        if streaming and (self._grid_model is None
+                          or not hasattr(self._grid_model, "encode_grid_chunk")):
+            log.warning("grid_backend=streaming needs an (model, params) "
+                        "encoder with encode_grid_chunk; falling back to "
+                        "windowed")
+            streaming = False
         with stage_timer(log, "embed-grid"):
-            win_embs = embed_windows(
-                self.encode_fn, y, sr, grid_win_s, grid_hop_s,
-                batch=cfg.embed.batch_size,
-            )
+            if streaming:
+                win_embs = embed_windows_streaming(
+                    self._grid_model, self._grid_params, y, sr,
+                    grid_win_s, grid_hop_s,
+                )
+            else:
+                win_embs = embed_windows(
+                    self.encode_fn, y, sr, grid_win_s, grid_hop_s,
+                    batch=cfg.embed.batch_size,
+                )
             starts_s = window_starts(y.shape[-1], sr, grid_win_s, grid_hop_s) / sr
 
         # SCD at its own hop = a stride over the shared grid

@@ -4,6 +4,7 @@ from .vad_post import vad_segments_from_probs
 from .embed import (
     window_starts,
     embed_windows,
+    embed_windows_streaming,
     segment_embeddings_from_grid,
     embed_segments_bucketed,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "vad_segments_from_probs",
     "window_starts",
     "embed_windows",
+    "embed_windows_streaming",
     "segment_embeddings_from_grid",
     "embed_segments_bucketed",
     "scd_split",

@@ -120,6 +120,68 @@ def _get_batch_encode_fn(encode_fn: EncodeFn, win: int, hop: int, span: int):
     return _BATCH_ENCODE_CACHE[key]
 
 
+# jitted streaming-grid chunk functions, keyed so traces are reused
+_STREAM_FN_CACHE: dict = {}
+
+
+def embed_windows_streaming(
+    model,
+    params,
+    y: jnp.ndarray,
+    sr: int,
+    win_s: float,
+    hop_s: float,
+    windows_per_chunk: int = 600,
+    margin_s: float = 4.0,
+) -> np.ndarray:
+    """Streaming-trunk grid embeddings: [T] -> [n_windows, D].
+
+    Same contract as :func:`embed_windows`, but the encoder trunk runs ONCE
+    per chunk over the raw waveform (``EcapaModel.encode_grid_chunk``) instead
+    of once per window — the dense 1 s / 100 ms grid overlaps 10-fold, so this
+    removes ~10x redundant trunk FLOPs.  Chunks carry ``margin_s`` of real
+    context on each side (> the trunk receptive field incl. sliding-stat
+    windows, ~3.4 s), so core windows match an unchunked whole-file pass;
+    stitching exactness is tested in tests/test_streaming_ecapa.py.
+    """
+    import jax
+
+    win = int(round(win_s * sr))
+    hop = int(round(hop_s * sr))
+    w = num_frames(y.shape[-1], win, hop, pad_tail=True)
+    if w == 0:
+        return np.zeros((0, 1), dtype=np.float32)
+    wpc = min(windows_per_chunk, 1 << max(6, (w - 1).bit_length()))
+    margin = -(-int(round(margin_s * sr)) // hop) * hop
+    span = 2 * margin + (wpc - 1) * hop + win
+
+    key = (id(model), _params_key(params), win, hop, wpc, margin)
+    if key not in _STREAM_FN_CACHE:
+
+        @jax.jit
+        def chunk_fn(y_pad, start):
+            seg = jax.lax.dynamic_slice_in_dim(y_pad, start, span)
+            return model.encode_grid_chunk(params, seg, wpc, margin, win, hop)
+
+        _STREAM_FN_CACHE[key] = chunk_fn
+    chunk_fn = _STREAM_FN_CACHE[key]
+
+    n_chunks = -(-w // wpc)
+    needed = margin + ((n_chunks - 1) * wpc + wpc - 1) * hop + win + margin
+    y_pad = jnp.pad(jnp.asarray(y), (margin, max(0, needed - margin - y.shape[-1])))
+    outs = [chunk_fn(y_pad, c * wpc * hop) for c in range(n_chunks)]
+    return np.concatenate([np.asarray(o) for o in outs], axis=0)[:w]
+
+
+def _params_key(params) -> int:
+    """Identity key for a params pytree (leaves are device arrays; the tree
+    object itself is rebuilt per load, so key on the first leaf's id)."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(params)
+    return id(leaves[0]) if leaves else 0
+
+
 def segment_overlap_weights(
     segs: SegmentArray,
     win_starts_s: np.ndarray,

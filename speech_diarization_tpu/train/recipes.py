@@ -34,10 +34,18 @@ def train_vad_synthetic(
     seed: int = 0,
     out_path: str | Path | None = None,
     eval_every: int = 50,
+    arch: str = "gru",
 ) -> tuple[dict, dict]:
     """Train the Silero-class VAD on synthetic speech/noise; returns
-    (params, metrics).  CPU-friendly (~2 min at default settings)."""
-    model = VadModel()
+    (params, metrics).  CPU-friendly (~2 min at default settings).
+
+    ``arch``: 'gru' (Silero-class recurrent net, streaming-state parity) or
+    'conv' (scan-free TCN — the fast batch-inference backend; the GRU's
+    sequential scan was 71% of the 600 s pipeline wall on the axon chip).
+    """
+    from ..models.vad import VadConvNet
+
+    model = VadModel(VadConvNet() if arch == "conv" else None)
     params = model.init(jax.random.PRNGKey(seed))
     opt = optax.adam(lr)
     opt_state = opt.init(params)
@@ -77,7 +85,13 @@ def train_vad_synthetic(
 
     if out_path is not None:
         flat = _flatten(params)
-        save_params_npz(flat, out_path)
+        meta = {"arch": arch}
+        if arch == "conv":
+            net = model.net
+            meta["net"] = {"n_mels": net.n_mels, "channels": net.channels,
+                           "dilations": list(net.dilations),
+                           "kernel": net.kernel}
+        save_params_npz(flat, out_path, meta=meta)
     return params, metrics
 
 
@@ -196,7 +210,12 @@ def load_speaker_encoder(path: str | Path, dtype=None):
     net = EcapaTdnn(**net_cfg)
     params = unflatten_params(load_params_npz(path))
     params.pop("classifier", None)  # training head, not needed for inference
-    return EcapaModel(net), params
+    model = EcapaModel(net)
+    # encoders trained under streaming statistics (sliding mean-norm/SE +
+    # per-window pooling) declare it; pipelines resolve grid_backend='auto'
+    # to the trunk-shared streaming grid only for such weights
+    model.streaming_trained = bool(meta.get("streaming_stats", False))
+    return model, params
 
 
 def make_noisy_clean_batch(
@@ -607,3 +626,20 @@ def load_vad_weights(path: str | Path) -> dict:
     if gru:
         params["gru"] = GRUParams(gru["w_ih"], gru["w_hh"], gru["b_ih"], gru["b_hh"])
     return params
+
+
+def load_vad(path: str | Path):
+    """-> (VadModel, params); the architecture ('gru' Silero-class net or
+    'conv' scan-free TCN) travels in the npz ``__meta__`` sidecar."""
+    from ..models.port import load_params_meta
+    from ..models.vad import VadConvNet
+
+    meta = load_params_meta(path) or {}
+    if meta.get("arch") == "conv":
+        net_cfg = dict(meta.get("net", {}))
+        if "dilations" in net_cfg:
+            net_cfg["dilations"] = tuple(net_cfg["dilations"])
+        model = VadModel(VadConvNet(**net_cfg))
+    else:
+        model = VadModel()
+    return model, load_vad_weights(path)

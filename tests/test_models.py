@@ -53,6 +53,53 @@ class TestVad:
         assert p[2 * n + 10 : 3 * n - 10].mean() < 0.1
 
 
+class TestVadConv:
+    """Scan-free TCN VAD (models/vad.VadConvNet) — the fast batch backend."""
+
+    def test_shapes_and_range(self):
+        from speech_diarization_tpu.models.vad import VadConvNet
+
+        model = VadModel(VadConvNet())
+        params = model.init(jax.random.PRNGKey(0))
+        y = jnp.asarray(
+            np.random.default_rng(0).standard_normal(16000).astype(np.float32))
+        p = np.asarray(model.probs(params, y))
+        assert p.shape == (16000 // 160 + 1,)
+        assert (p >= 0).all() and (p <= 1).all()
+
+    def test_causality(self):
+        from speech_diarization_tpu.models.vad import VadConvNet
+
+        model = VadModel(VadConvNet())
+        params = model.init(jax.random.PRNGKey(1))
+        g = np.random.default_rng(2)
+        a = g.standard_normal(24000).astype(np.float32)
+        y1 = np.concatenate([a, g.standard_normal(8000).astype(np.float32)])
+        y2 = np.concatenate([a, 0.5 * g.standard_normal(8000).astype(np.float32)])
+        p1 = np.asarray(model.probs(params, jnp.asarray(y1)))
+        p2 = np.asarray(model.probs(params, jnp.asarray(y2)))
+        n_safe = (24000 - 400) // 160 - 2
+        np.testing.assert_allclose(p1[:n_safe], p2[:n_safe], atol=1e-5)
+
+    def test_train_save_load_roundtrip(self, tmp_path):
+        from speech_diarization_tpu.train.recipes import (
+            load_vad, train_vad_synthetic,
+        )
+
+        out = tmp_path / "vad_conv.npz"
+        params, _ = train_vad_synthetic(steps=2, batch=2, dur_s=1.0,
+                                        arch="conv", out_path=out)
+        model, loaded = load_vad(out)
+        from speech_diarization_tpu.models.vad import VadConvNet
+
+        assert isinstance(model.net, VadConvNet)
+        y = jnp.asarray(
+            np.random.default_rng(0).standard_normal(8000).astype(np.float32))
+        p1 = np.asarray(model.probs(params, y))
+        p2 = np.asarray(model.probs(loaded, y))
+        np.testing.assert_allclose(p1, p2, atol=1e-6)
+
+
 class TestEcapa:
     @pytest.fixture(scope="class")
     def small(self):
