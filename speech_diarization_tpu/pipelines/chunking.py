@@ -79,7 +79,8 @@ def chunked_framewise(
     frames_per_chunk_extra: int = 1,
     group: int | None = None,
     edge_margin_frames: int = 25,
-) -> np.ndarray:
+    defer: bool = False,
+) -> np.ndarray | Callable[[], np.ndarray]:
     """Apply a framewise model over a long waveform with constant shapes.
 
     ``fn`` maps [..., T_chunk] -> [..., F_chunk] with
@@ -109,8 +110,12 @@ def chunked_framewise(
     yj = jnp.asarray(y)
     if t <= chunk:
         padded = jnp.pad(yj, (0, chunk - t))
-        out = np.asarray(fn(padded[None])[0])
-        return out[:n_frames_total]
+        dev = fn(padded[None])
+
+        def finish_small() -> np.ndarray:
+            return np.asarray(dev)[0][:n_frames_total]
+
+        return finish_small if defer else finish_small()
 
     n_chunks = int(np.ceil((t - chunk) / hop_samples)) + 1
     total_needed = (n_chunks - 1) * hop_samples + chunk
@@ -128,15 +133,27 @@ def chunked_framewise(
     m = min(edge_margin_frames, max(overlap_frames - 1, 0))
 
     _group_fn = _get_group_fn(fn, chunk)
+    pending = []
     for g0_chunk in range(0, n_chunks, group):
         g1_chunk = min(g0_chunk + group, n_chunks)
         starts = jnp.arange(g0_chunk, g1_chunk) * hop_samples
-        probs_g = np.asarray(
-            _group_fn(yj, starts, group - (g1_chunk - g0_chunk)))
-        for j, k in enumerate(range(g0_chunk, g1_chunk)):
-            lo = 0 if k == 0 else overlap_frames - m
-            hi = frames_per_chunk if k == n_chunks - 1 else frames_per_chunk - m
-            a = k * chunk_hop_frames + lo
-            b = min(a + (hi - lo), n_frames_total)
-            out[a:b] = probs_g[j, lo : lo + (b - a)]
-    return out
+        # dispatch only — device results are pulled in finish(), so callers
+        # can overlap other dispatches/host work with this compute
+        pending.append(
+            (g0_chunk, g1_chunk,
+             _group_fn(yj, starts, group - (g1_chunk - g0_chunk))))
+
+    def finish() -> np.ndarray:
+        for g0c, g1c, dev in pending:
+            probs_g = np.asarray(dev)
+            for j, k in enumerate(range(g0c, g1c)):
+                lo = 0 if k == 0 else overlap_frames - m
+                hi = frames_per_chunk if k == n_chunks - 1 else frames_per_chunk - m
+                a = k * chunk_hop_frames + lo
+                b = min(a + (hi - lo), n_frames_total)
+                out[a:b] = probs_g[j, lo : lo + (b - a)]
+        return out
+
+    if defer:
+        return finish
+    return finish()

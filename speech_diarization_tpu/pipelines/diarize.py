@@ -155,8 +155,12 @@ class DiarizationPipeline:
     def _preprocess_device(self, y: jnp.ndarray, n_valid: jnp.ndarray, sr: int):
         """One fused jitted pass: loudness norm + DC + pre-emphasis + clip.
         ``y`` is zero-padded to a bucket length; zeros don't pass the BS.1770
-        gate (so the gain is unchanged) and the DC mean uses ``n_valid``."""
+        gate (so the gain is unchanged) and the DC mean uses ``n_valid``.
+        int16 input (the quantized-upload path) is dequantized here on
+        device — the host→device link is the scarce resource, not the VPU."""
         cfg = self.cfg.audio
+        if y.dtype == jnp.int16:
+            y = y.astype(jnp.float32) * (1.0 / 32768.0)
         if cfg.target_lufs is not None:
             y = loudness_normalize(y, sr, cfg.target_lufs)
         if cfg.remove_dc:
@@ -166,6 +170,20 @@ class DiarizationPipeline:
 
             y = preemphasis(y, cfg.preemphasis)
         return jnp.clip(y, -0.99, 0.99)
+
+    @staticmethod
+    def _quantize_host(y: np.ndarray, t_pad: int) -> np.ndarray:
+        """Pad to the jit bucket and quantize f32 → int16 on host.  The
+        waveform is by far the largest host→device transfer (38 MB/f32 for
+        10 min) and the axon tunnel's transfer path degrades ~30x once any
+        non-trivial program has run in the process (see STATUS.md), so
+        halving the bytes halves the dominant per-file upload cost.  int16
+        is the native precision of WAV/FLAC sources anyway (96 dB SNR);
+        dequantization happens inside the fused preprocess jit."""
+        t = y.shape[-1]
+        out = np.zeros(t_pad, np.int16)
+        out[:t] = np.clip(y * 32767.0, -32768.0, 32767.0).astype(np.int16)
+        return out
 
     def prefetch(self, source) -> tuple[jnp.ndarray, int, int]:
         """Host decode + bucket pad + async device upload (``device_put``
@@ -177,7 +195,7 @@ class DiarizationPipeline:
         t = y.shape[-1]
         bucket = int(self._PAD_BUCKET_S * sr)
         t_pad = max(bucket, -(-t // bucket) * bucket)
-        yd = jax.device_put(np.pad(y, (0, t_pad - t)))
+        yd = jax.device_put(self._quantize_host(y, t_pad))
         return yd, t, sr
 
     def load(self, source) -> tuple[jnp.ndarray, int]:
@@ -190,8 +208,10 @@ class DiarizationPipeline:
             t = y.shape[-1]
             bucket = int(self._PAD_BUCKET_S * sr)
             t_pad = max(bucket, -(-t // bucket) * bucket)
-            yd = jnp.asarray(np.pad(y, (0, t_pad - t)))
+            yd = jnp.asarray(self._quantize_host(y, t_pad))
         if self.enhance_fn is not None:
+            if yd.dtype == jnp.int16:
+                yd = (yd.astype(jnp.float32) * (1.0 / 32768.0))
             yd = self.enhance_fn(yd)
         if not hasattr(self, "_preprocess_jit"):
             self._preprocess_jit = jax.jit(
@@ -201,9 +221,10 @@ class DiarizationPipeline:
         return yd[:t], sr
 
     # ----------------------------------------------------------------- vad --
-    def vad_probs(self, y: jnp.ndarray, sr: int) -> np.ndarray:
+    def vad_probs(self, y: jnp.ndarray, sr: int, defer: bool = False):
         hop = int(round(self.cfg.vad.hop_ms / 1000.0 * sr))
-        return chunked_framewise(self.vad_probs_fn, y, sr, frame_hop=hop)
+        return chunked_framewise(self.vad_probs_fn, y, sr, frame_hop=hop,
+                                 defer=defer)
 
     # ---------------------------------------------------------------- main --
     def __call__(self, source, collect_diagnostics: bool = False) -> DiarizationResult:
@@ -213,13 +234,6 @@ class DiarizationPipeline:
         with stage_timer(log, "load+preprocess"):
             y, sr = self.load(source)
         total_s = y.shape[-1] / sr
-
-        with stage_timer(log, "vad"):
-            probs = self.vad_probs(y, sr)
-            speech = vad_segments_from_probs(probs, cfg.vad)
-        if len(speech) == 0:
-            empty = SegmentArray.from_pairs([])
-            return DiarizationResult(empty, empty, 0)
 
         # one dense embedding grid serves SCD + segment embeddings + reassign
         grid_win_s = cfg.reseg.win_s
@@ -239,6 +253,27 @@ class DiarizationPipeline:
                         "encoder with encode_grid_chunk; falling back to "
                         "windowed")
             streaming = False
+        # Dispatch VAD and the embedding grid together BEFORE pulling either:
+        # the grid covers the whole file (it does not depend on VAD output),
+        # so its compute overlaps the VAD pull + host segment algebra instead
+        # of starting after them — on the axon tunnel (degraded-transfer
+        # state, see STATUS.md) that hides several hundred ms per file.
+        with stage_timer(log, "dispatch"):
+            vad_finish = self.vad_probs(y, sr, defer=True)
+            embed_finish = None
+            if not streaming:
+                embed_finish = embed_windows(
+                    self.encode_fn, y, sr, grid_win_s, grid_hop_s,
+                    batch=cfg.embed.batch_size, defer=True,
+                )
+
+        with stage_timer(log, "vad"):
+            probs = vad_finish()
+            speech = vad_segments_from_probs(probs, cfg.vad)
+        if len(speech) == 0:
+            empty = SegmentArray.from_pairs([])
+            return DiarizationResult(empty, empty, 0)
+
         with stage_timer(log, "embed-grid"):
             if streaming:
                 win_embs = embed_windows_streaming(
@@ -246,10 +281,7 @@ class DiarizationPipeline:
                     grid_win_s, grid_hop_s,
                 )
             else:
-                win_embs = embed_windows(
-                    self.encode_fn, y, sr, grid_win_s, grid_hop_s,
-                    batch=cfg.embed.batch_size,
-                )
+                win_embs = embed_finish()
             starts_s = window_starts(y.shape[-1], sr, grid_win_s, grid_hop_s) / sr
 
         # SCD at its own hop = a stride over the shared grid

@@ -45,7 +45,8 @@ def embed_windows(
     win_s: float,
     hop_s: float,
     batch: int = 256,
-) -> np.ndarray:
+    defer: bool = False,
+) -> np.ndarray | Callable[[], np.ndarray]:
     """Embed every window of the dense grid: [T] -> [n_windows, D].
 
     Per batch, only the covering waveform span is sliced (on device) and
@@ -53,6 +54,11 @@ def embed_windows(
     blow-up of the waveform, ~384 MB for an hour of 1 s/100 ms windows) is
     never materialized in HBM.  Every batch shares one compiled shape, so a
     single program serves any file length.
+
+    ``defer=True`` dispatches every batch and returns a zero-arg finisher
+    that pulls + concatenates — callers overlap this compute with other
+    host/device work (the flagship pipeline runs VAD post-processing on the
+    host while the grid computes).
     """
     import jax
 
@@ -60,21 +66,22 @@ def embed_windows(
     hop = int(round(hop_s * sr))
     w = num_frames(y.shape[-1], win, hop, pad_tail=True)
     if w == 0:
-        return np.zeros((0, 1), dtype=np.float32)
+        empty = np.zeros((0, 1), dtype=np.float32)
+        return (lambda: empty) if defer else empty
     span = (batch - 1) * hop + win
     n_batches = -(-w // batch)
     needed = (n_batches - 1) * batch * hop + span
     y_pad = jnp.pad(jnp.asarray(y), (0, max(0, needed - y.shape[-1])))
 
     batch_fn = _get_batch_encode_fn(encode_fn, win, hop, span)
-    outs = []
-    for i in range(n_batches):
-        # slice + frame + encode fused in ONE dispatch (eager slices cost a
-        # tunnel round trip each); results stay on device so dispatch i+1
-        # overlaps compute i; one transfer at the end
-        outs.append(batch_fn(y_pad, i * batch * hop))
-    embs = np.concatenate([np.asarray(o) for o in outs], axis=0)[:w]
-    return embs
+    # dispatch all batches; results stay on device so dispatch i+1 overlaps
+    # compute i (eager slices would cost a tunnel round trip each)
+    outs = [batch_fn(y_pad, i * batch * hop) for i in range(n_batches)]
+
+    def finish() -> np.ndarray:
+        return np.concatenate([np.asarray(o) for o in outs], axis=0)[:w]
+
+    return finish if defer else finish()
 
 
 # slice+frame+encode wrappers, keyed so traces are reused across files
