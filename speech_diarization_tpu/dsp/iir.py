@@ -102,6 +102,40 @@ def _biquad_chunk(x, b, a, state):
     return y, new_state
 
 
+def sos_scan_overlap(x: jax.Array, sections, chunk: int = 1 << 16,
+                     warmup: int = 1 << 13) -> jax.Array:
+    """Cascade IIR over [T] via PARALLEL overlapped chunks.
+
+    :func:`sos_scan_chunked` is exact but sequential across chunks (a 10-min
+    file = 37 dependent scan steps ≈ 60 ms of per-step latency on the axon
+    chip).  Here every chunk instead re-derives its initial state from a
+    ``warmup`` overlap of the previous chunk's *input*, processed with zero
+    initial state: the state error decays as ``r^warmup`` with ``r`` the
+    largest pole radius, and the BS.1770 K-weighting poles (r <= 0.9925 at
+    16 kHz) make an 8192-sample warmup exact to f32 — verified against the
+    sequential scan in tests/test_dsp.py.  All chunks run in ONE batched
+    associative scan: latency is one log-depth scan regardless of file
+    length.  The default chunk is shorter than the sequential variant's
+    (2^16 vs 2^18): axon's associative-scan compile time grows superlinearly
+    with the traced length but only linearly with batch rows, so many short
+    rows compile far faster at the same total work.
+    """
+    sections = [
+        (np.asarray(b, np.float64), np.asarray(a, np.float64)) for b, a in sections
+    ]
+    t = x.shape[-1]
+    if t <= chunk + warmup or x.ndim != 1:
+        return sos_scan(x, sections)
+    n_chunks = -(-t // chunk)
+    xp = jnp.pad(x, (warmup, n_chunks * chunk - t))
+    # row k = [warmup tail of chunk k-1 | chunk k]
+    idx = jnp.arange(chunk + warmup)[None, :] + (
+        jnp.arange(n_chunks) * chunk)[:, None]
+    rows = xp[idx]  # [n_chunks, chunk + warmup]
+    y = sos_scan(rows, sections)
+    return y[:, warmup:].reshape(-1)[:t]
+
+
 def sos_scan_chunked(x: jax.Array, sections, chunk: int = 1 << 18) -> jax.Array:
     """Exact cascade IIR over [T] as a ``lax.scan`` of fixed-shape chunks.
 

@@ -80,11 +80,13 @@ def k_weight(y: jax.Array, fs: int, mode: str = "scan") -> jax.Array:
     ``mode='fir'``: truncated-impulse-response convolution (~1e-5 error).
     """
     if mode == "scan":
-        from .iir import sos_scan_chunked
+        from .iir import sos_scan_overlap
 
-        # chunked: XLA program size (and axon compile time) bounded by the
-        # chunk, state carried exactly; == sos_scan for short inputs
-        return sos_scan_chunked(y, k_weighting_coeffs(float(fs)))
+        # parallel overlapped chunks: XLA program size (and axon compile
+        # time) bounded by the chunk, all chunks in ONE batched scan (the
+        # sequential-state variant costs per-chunk step latency on axon);
+        # warmup overlap is exact to f32 for these pole radii
+        return sos_scan_overlap(y, k_weighting_coeffs(float(fs)))
     t = y.shape[-1]
     h = _k_fir_taps(fs)
     squeeze = y.ndim == 1

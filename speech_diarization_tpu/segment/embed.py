@@ -68,6 +68,16 @@ def embed_windows(
     if w == 0:
         empty = np.zeros((0, 1), dtype=np.float32)
         return (lambda: empty) if defer else empty
+    # Auto-bucket the batch: each dispatch costs a tunnel round trip worth
+    # ~DISPATCH_EQUIV windows of encoder compute, so larger batches win for
+    # long files while short files still get a single snug dispatch.
+    # Candidates are powers-of-two multiples of the caller's batch (its value
+    # stays the compile-shape floor, so explicitly small batches in tests
+    # keep their small shapes).
+    DISPATCH_EQUIV = 384
+    cap = max(batch, 4096)
+    cands = {min(batch << k, cap) for k in range(4)}
+    batch = min(cands, key=lambda b: -(-w // b) * (b + DISPATCH_EQUIV))
     span = (batch - 1) * hop + win
     n_batches = -(-w // batch)
     needed = (n_batches - 1) * batch * hop + span

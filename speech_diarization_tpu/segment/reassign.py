@@ -76,9 +76,11 @@ def frame_reassign(
     center_frames = np.clip((centers / hop_res).astype(int), 0, n_frames - 1)
     valid = smask[center_frames]
 
-    # one matmul on device: [W, D] @ [D, K]
+    # [W, D] @ [D, K] on HOST: a few MFLOPs of numpy beats shipping 4.6 MB
+    # of embeddings through a ~25 ms device round trip (dispatch-latency
+    # bound at any realistic W x K; win_embs already lives in host memory)
     e = win_embs / (np.linalg.norm(win_embs, axis=1, keepdims=True) + 1e-8)
-    scores = np.asarray(jnp.asarray(e) @ jnp.asarray(cents).T)  # [W, K]
+    scores = e @ cents.T  # [W, K]
     if hmm and cents.shape[0] > 1:
         log_a = sticky_transition_logits(cents.shape[0], hmm_self_loop)
         best = np.asarray(viterbi_decode(jnp.asarray(scores), log_a))

@@ -271,6 +271,32 @@ class TestIirChunked:
         finally:
             _jax.config.update("jax_enable_x64", False)
 
+    def test_overlap_matches_sequential(self):
+        """The parallel overlap-warmup variant must match the exact
+        sequential-state scan: warmup >= 8192 makes the discarded initial
+        state invisible for the K-weighting pole radii."""
+        from speech_diarization_tpu.dsp.iir import sos_scan, sos_scan_overlap
+        from speech_diarization_tpu.dsp.loudness import k_weighting_coeffs
+
+        g = np.random.default_rng(2)
+        x = g.standard_normal(100_000 + 777).astype(np.float32)
+        sections = k_weighting_coeffs(16000.0)
+        a = np.asarray(sos_scan(jnp.asarray(x), sections))
+        b = np.asarray(
+            sos_scan_overlap(jnp.asarray(x), sections, chunk=16384, warmup=8192))
+        np.testing.assert_allclose(a, b, atol=0.05)  # f32 drift, see above
+        import jax as _jax
+        try:
+            _jax.config.update("jax_enable_x64", True)
+            x64 = x.astype(np.float64)
+            a64 = np.asarray(sos_scan(jnp.asarray(x64), sections))
+            b64 = np.asarray(sos_scan_overlap(
+                jnp.asarray(x64), sections, chunk=16384, warmup=8192))
+            # warmup truncation error ~r^8192 — below f64 noise
+            np.testing.assert_allclose(a64, b64, atol=1e-9)
+        finally:
+            _jax.config.update("jax_enable_x64", False)
+
     def test_loudness_long_input_uses_chunked_path(self):
         """integrated_loudness on a long signal stays finite and matches the
         short-signal meter on a repeated excerpt."""
