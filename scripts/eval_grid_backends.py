@@ -28,6 +28,8 @@ def main() -> None:
     ap.add_argument("--speakers", type=int, default=2)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--backends", default="windowed,streaming")
+    ap.add_argument("--weights", default=None,
+                    help="encoder npz (default: shipped full-size weights)")
     args = ap.parse_args()
 
     import jax
@@ -52,7 +54,8 @@ def main() -> None:
     wdir = Path(__file__).resolve().parents[1] / "weights"
     dtype = jnp.bfloat16 if args.bf16 else None
     model, params = load_speaker_encoder(
-        wdir / "ecapa_synthetic_full.npz", dtype=dtype)
+        Path(args.weights) if args.weights else wdir / "ecapa_synthetic_full.npz",
+        dtype=dtype)
     vad_w = next(wdir / n for n in ("vad_conv_synthetic.npz", "vad_synthetic.npz")
                  if (wdir / n).exists())
     vad, vad_params = load_vad(vad_w)

@@ -127,11 +127,15 @@ def sos_scan_overlap(x: jax.Array, sections, chunk: int = 1 << 16,
     if t <= chunk + warmup or x.ndim != 1:
         return sos_scan(x, sections)
     n_chunks = -(-t // chunk)
-    xp = jnp.pad(x, (warmup, n_chunks * chunk - t))
+    # bucket the row count to the next power of two so arbitrary file
+    # lengths share a handful of compiled shapes (axon compiles are minutes;
+    # the wasted rows are zeros costing microseconds of VPU time)
+    n_rows = 1 << (n_chunks - 1).bit_length()
+    xp = jnp.pad(x, (warmup, n_rows * chunk - t))
     # row k = [warmup tail of chunk k-1 | chunk k]
     idx = jnp.arange(chunk + warmup)[None, :] + (
-        jnp.arange(n_chunks) * chunk)[:, None]
-    rows = xp[idx]  # [n_chunks, chunk + warmup]
+        jnp.arange(n_rows) * chunk)[:, None]
+    rows = xp[idx]  # [n_rows, chunk + warmup]
     y = sos_scan(rows, sections)
     return y[:, warmup:].reshape(-1)[:t]
 

@@ -75,7 +75,12 @@ def embed_windows(
     # stays the compile-shape floor, so explicitly small batches in tests
     # keep their small shapes).
     DISPATCH_EQUIV = 384
-    cap = max(batch, 4096)
+    # cap keeps the compiled-shape set small and bounded: the axon compile
+    # time for the full-size encoder grows steeply with batch (512 ~ minutes,
+    # 1024 ~ 19 min, 2048 > 58 min — measured); 1024 is the largest shape
+    # worth paying for once.  Explicit larger batches are honored for callers
+    # who accept the compile.
+    cap = max(batch, 1024)
     cands = {min(batch << k, cap) for k in range(4)}
     batch = min(cands, key=lambda b: -(-w // b) * (b + DISPATCH_EQUIV))
     span = (batch - 1) * hop + win

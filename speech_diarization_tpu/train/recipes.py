@@ -204,6 +204,7 @@ def train_speaker_encoder_streaming(
     dur_s: float = 3.0,
     win_s: float = 1.0,
     hop_s: float = 0.5,
+    init_params: dict | None = None,
 ) -> tuple[dict, dict]:
     """Train an ECAPA whose windows are pooled from ONE sliding-statistics
     trunk pass (``EcapaModel.encode_grid_chunk``) — i.e. under exactly the
@@ -230,9 +231,10 @@ def train_speaker_encoder_streaming(
     win, hop = int(round(win_s * sr)), int(round(hop_s * sr))
     n_win = (int(round(dur_s * sr)) - win) // hop + 1
     key = jax.random.PRNGKey(seed)
-    params = model.init(key)
-    params["classifier"] = jax.random.normal(
-        jax.random.fold_in(key, 1), (n_speakers, net.emb_dim)) * 0.05
+    params = init_params if init_params is not None else model.init(key)
+    if "classifier" not in params:
+        params["classifier"] = jax.random.normal(
+            jax.random.fold_in(key, 1), (n_speakers, net.emb_dim)) * 0.05
     opt = _optax.adam(lr)
     opt_state = opt.init(params)
     rng = np.random.default_rng(seed)

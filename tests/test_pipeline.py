@@ -221,3 +221,28 @@ class TestPrefetchPath:
         via, sr2 = pipe.load(pre)
         assert sr1 == sr2
         np.testing.assert_allclose(np.asarray(direct), np.asarray(via), atol=1e-6)
+
+    def test_int16_ingest_matches_f32(self):
+        """The quantized-upload path (load quantizes f32 -> int16 on host,
+        preprocess dequantizes on device) must be audibly identical to an
+        unquantized pipeline: 1 LSB of int16 = 3e-5 amplitude."""
+        import jax.numpy as jnp
+
+        from speech_diarization_tpu.config import AudioConfig, DiarizationConfig
+        from speech_diarization_tpu.pipelines.diarize import DiarizationPipeline
+        from speech_diarization_tpu.train.synthetic import make_conversation
+
+        wave, _ = make_conversation(np.random.default_rng(3), 5.0, n_speakers=2)
+        wave = wave.astype(np.float32)
+        pipe = DiarizationPipeline(
+            DiarizationConfig(audio=AudioConfig(target_lufs=None)),
+            encode_fn=lambda w: w[:, :8])
+        y16, _ = pipe.load((wave, 16000))
+        # reference: run the same fused preprocess on the raw f32 wave
+        t = wave.shape[-1]
+        bucket = int(pipe._PAD_BUCKET_S * 16000)
+        t_pad = max(bucket, -(-t // bucket) * bucket)
+        yf = pipe._preprocess_jit(
+            jnp.asarray(np.pad(wave, (0, t_pad - t))), jnp.float32(t), 16000)[:t]
+        np.testing.assert_allclose(
+            np.asarray(y16), np.asarray(yf), atol=2e-4)
