@@ -112,13 +112,17 @@ def main() -> None:
     # full-size synthetic weights make segment/cluster/reassign load realistic
     # (random weights collapse everything to 1 speaker). SDTPU_BENCH_ENCODER:
     # trained (default, falls back to random if weights missing) | random.
-    enc_weights = (Path(__file__).resolve().parent
-                   / "weights" / "ecapa_synthetic_full.npz")
+    wroot = Path(__file__).resolve().parent / "weights"
+    enc_weights = next(
+        (wroot / n for n in ("ecapa_synthetic_full_stream.npz",
+                             "ecapa_synthetic_full.npz") if (wroot / n).exists()),
+        wroot / "ecapa_synthetic_full.npz",
+    )
     if (os.environ.get("SDTPU_BENCH_ENCODER", "trained") == "trained"
             and enc_weights.exists()):
         from speech_diarization_tpu.train.recipes import load_speaker_encoder
 
-        log("encoder: shipped full-size synthetic weights")
+        log(f"encoder: shipped full-size synthetic weights ({enc_weights.name})")
         ecapa, ecapa_params = load_speaker_encoder(enc_weights, dtype=jnp.bfloat16)
     else:
         log("encoder: full-size ECAPA, random weights")

@@ -33,7 +33,8 @@ def _make_ecapa(weights, sample_rate: int, seed: int):
     from .ecapa import EcapaModel
 
     if weights is None:
-        for name in ("ecapa_synthetic_full.npz", "ecapa_synthetic.npz"):
+        for name in ("ecapa_synthetic_full_stream.npz",
+                     "ecapa_synthetic_full.npz", "ecapa_synthetic.npz"):
             shipped = _WEIGHTS_DIR / name
             if shipped.exists():
                 weights = shipped

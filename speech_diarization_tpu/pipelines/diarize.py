@@ -98,8 +98,11 @@ class DiarizationPipeline:
             from pathlib import Path
 
             wdir = Path(__file__).resolve().parents[2] / "weights"
+            # streaming-trained weights first: they engage the trunk-shared
+            # grid under grid_backend='auto' (same DER, ~10x less trunk work)
             default = next(
-                (wdir / n for n in ("ecapa_synthetic_full.npz",
+                (wdir / n for n in ("ecapa_synthetic_full_stream.npz",
+                                    "ecapa_synthetic_full.npz",
                                     "ecapa_synthetic.npz")
                  if (wdir / n).exists()),
                 wdir / "ecapa_synthetic.npz",
@@ -260,8 +263,12 @@ class DiarizationPipeline:
         # state, see STATUS.md) that hides several hundred ms per file.
         with stage_timer(log, "dispatch"):
             vad_finish = self.vad_probs(y, sr, defer=True)
-            embed_finish = None
-            if not streaming:
+            if streaming:
+                embed_finish = embed_windows_streaming(
+                    self._grid_model, self._grid_params, y, sr,
+                    grid_win_s, grid_hop_s, defer=True,
+                )
+            else:
                 embed_finish = embed_windows(
                     self.encode_fn, y, sr, grid_win_s, grid_hop_s,
                     batch=cfg.embed.batch_size, defer=True,
@@ -275,13 +282,7 @@ class DiarizationPipeline:
             return DiarizationResult(empty, empty, 0)
 
         with stage_timer(log, "embed-grid"):
-            if streaming:
-                win_embs = embed_windows_streaming(
-                    self._grid_model, self._grid_params, y, sr,
-                    grid_win_s, grid_hop_s,
-                )
-            else:
-                win_embs = embed_finish()
+            win_embs = embed_finish()
             starts_s = window_starts(y.shape[-1], sr, grid_win_s, grid_hop_s) / sr
 
         # SCD at its own hop = a stride over the shared grid

@@ -155,7 +155,8 @@ def embed_windows_streaming(
     hop_s: float,
     windows_per_chunk: int = 600,
     margin_s: float = 4.0,
-) -> np.ndarray:
+    defer: bool = False,
+) -> np.ndarray | Callable[[], np.ndarray]:
     """Streaming-trunk grid embeddings: [T] -> [n_windows, D].
 
     Same contract as :func:`embed_windows`, but the encoder trunk runs ONCE
@@ -172,7 +173,8 @@ def embed_windows_streaming(
     hop = int(round(hop_s * sr))
     w = num_frames(y.shape[-1], win, hop, pad_tail=True)
     if w == 0:
-        return np.zeros((0, 1), dtype=np.float32)
+        empty = np.zeros((0, 1), dtype=np.float32)
+        return (lambda: empty) if defer else empty
     wpc = min(windows_per_chunk, 1 << max(6, (w - 1).bit_length()))
     margin = -(-int(round(margin_s * sr)) // hop) * hop
     span = 2 * margin + (wpc - 1) * hop + win
@@ -192,7 +194,11 @@ def embed_windows_streaming(
     needed = margin + ((n_chunks - 1) * wpc + wpc - 1) * hop + win + margin
     y_pad = jnp.pad(jnp.asarray(y), (margin, max(0, needed - margin - y.shape[-1])))
     outs = [chunk_fn(y_pad, c * wpc * hop) for c in range(n_chunks)]
-    return np.concatenate([np.asarray(o) for o in outs], axis=0)[:w]
+
+    def finish() -> np.ndarray:
+        return np.concatenate([np.asarray(o) for o in outs], axis=0)[:w]
+
+    return finish if defer else finish()
 
 
 def _params_key(params) -> int:
