@@ -116,11 +116,15 @@ def corpus_diarize(
 
             def prefetch(item):
                 # decode + pad + async device upload of the NEXT file while
-                # the current one computes (the upload otherwise serializes
-                # ~38 MB/file into the wall time on the axon tunnel)
+                # the current one computes.  Worth a thread only for PATH
+                # sources (codec decode is real host work to hide); for
+                # in-memory arrays the upload is already async via
+                # device_put, and on a single-core host the extra thread
+                # contends with the main dispatch loop (measured: 139x with
+                # vs 160x without on the 6x600 s corpus)
                 idx_, src_ = item
                 try:
-                    if isinstance(src_, (str, Path)) or isinstance(src_, tuple):
+                    if isinstance(src_, (str, Path)):
                         return idx_, src_, pipe.prefetch(src_)
                 except Exception:
                     pass  # fall back to the in-line load path
