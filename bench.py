@@ -194,7 +194,7 @@ def main() -> None:
     warm_f = time.perf_counter() - t0
     log(f"[600s] warmup incl. compile: {warm_f:.1f}s, "
         f"{len(result.segments)} segments, {result.num_speakers} speakers")
-    emit(FULL_S / warm_f, "600s_warmup_incl_compile")
+    emit(FULL_S / warm_f, f"{int(FULL_S)}s_warmup_incl_compile")
 
     times = []
     for _ in range(2):
@@ -204,7 +204,7 @@ def main() -> None:
     wall = min(times)
     rtf = FULL_S / wall
     log(f"[600s] timed: {[f'{t:.2f}' for t in times]} -> rtf {rtf:.1f}x")
-    emit(rtf, "600s_full", {"wall_s": round(wall, 3),
+    emit(rtf, f"{int(FULL_S)}s_full", {"wall_s": round(wall, 3),
                             "rtf_60s_bucket": round(small_rtf, 2)})
 
     # -- milestone 3 (poison-safe tail): fused-vs-matmul fbank -----------------
@@ -214,7 +214,7 @@ def main() -> None:
         try:
             fb = _fbank_micro_bench()
             log(f"fbank micro-bench: {fb}")
-            emit(rtf, "600s_full", {"wall_s": round(wall, 3),
+            emit(rtf, f"{int(FULL_S)}s_full", {"wall_s": round(wall, 3),
                                     "rtf_60s_bucket": round(small_rtf, 2),
                                     **fb})
         except Exception as e:  # pragma: no cover

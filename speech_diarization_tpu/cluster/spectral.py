@@ -191,7 +191,11 @@ def _spectral_labels_np(
     deg = a.sum(axis=1)
     dsq = 1.0 / np.sqrt(np.maximum(deg, 1e-8))
     lap = np.eye(n) - (dsq[:, None] * a) * dsq[None, :]
-    eigvals, spec_vecs = np.linalg.eigh(lap)
+    # only the lowest kmax+1 eigenpairs matter (eigengap + k cluster
+    # coordinates): LAPACK's subset driver is ~10x the full eigh at N~1000
+    from scipy.linalg import eigh as _scipy_eigh
+
+    eigvals, spec_vecs = _scipy_eigh(lap, subset_by_index=[0, kmax])
     gaps = np.where(allowed, eigvals[1 : kmax + 1] - eigvals[:kmax], -np.inf)
     k = int(np.argmax(gaps)) + 1
 

@@ -98,7 +98,9 @@ def chunked_framewise(
     dispatches (measured 3.0 s -> 0.5 s on the axon chip); shapes stay
     bucketed so at most len(GROUP_BUCKETS) variants ever compile.
     """
-    t = int(np.asarray(y).shape[-1])
+    # shape only — np.asarray(y) here would round-trip the ENTIRE waveform
+    # through the (degraded) device->host link just to read a dimension
+    t = int(y.shape[-1])
     chunk = int(round(chunk_s * sr))
     hop_samples = chunk - int(round(overlap_s * sr))
     assert hop_samples % frame_hop == 0, "chunk hop must align to frame hop"

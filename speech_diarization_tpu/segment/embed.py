@@ -238,16 +238,33 @@ def segment_embeddings_from_grid(
     n = len(segs)
     if n == 0 or win_embs.shape[0] == 0:
         return np.zeros((n, win_embs.shape[1] if win_embs.size else 1), np.float32)
-    w = segment_overlap_weights(segs, win_starts_s, win_s)  # [S, W]
-    # windows mostly inside the segment dominate; tiny slivers are dropped
-    w = np.where(w >= min_overlap_s, w, 0.0)
-    empty = w.sum(axis=1) < 1e-9
-    if empty.any():
-        full = segment_overlap_weights(segs, win_starts_s, win_s)
-        best = np.argmax(full, axis=1)
-        w[empty, best[empty]] = 1.0
-    w = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-9)
-    return (w @ win_embs).astype(np.float32)
+    # Per-segment LOCAL window ranges instead of the dense [S, W] weight
+    # matrix: a segment only overlaps windows starting in
+    # (start - win_s, end), ~dozens at the 100 ms grid — the dense version
+    # allocated 200+ MB and took 32 s of host time at hour scale.  Same
+    # math exactly (overlap-seconds weights, sliver threshold, best-window
+    # fallback), tested equal in tests/test_segment.py.
+    ws = np.asarray(win_starts_s, np.float64)
+    starts = np.asarray(segs.starts, np.float64)
+    ends = np.asarray(segs.ends, np.float64)
+    a_idx = np.searchsorted(ws, starts - win_s, side="right")
+    b_idx = np.searchsorted(ws, ends, side="left")
+    out = np.zeros((n, win_embs.shape[1]), np.float32)
+    for i in range(n):
+        a, b = int(a_idx[i]), int(b_idx[i])
+        if b <= a:  # no window starts inside: nearest window wins
+            j = min(max(a, 0), len(ws) - 1)
+            out[i] = win_embs[j]
+            continue
+        local = ws[a:b]
+        ov = np.minimum(ends[i], local + win_s) - np.maximum(starts[i], local)
+        w = np.where(ov >= min_overlap_s, ov, 0.0)
+        tot = w.sum()
+        if tot < 1e-9:  # all slivers: single best-overlapping window
+            out[i] = win_embs[a + int(np.argmax(ov))]
+            continue
+        out[i] = (w / tot) @ win_embs[a:b]
+    return out
 
 
 def _bucket_len(n: int, min_len: int) -> int:
