@@ -53,9 +53,14 @@ def main() -> None:
     sr = 16000
     wdir = Path(__file__).resolve().parents[1] / "weights"
     dtype = jnp.bfloat16 if args.bf16 else None
+    default_w = next(
+        (wdir / n for n in ("ecapa_synthetic_full_stream.npz",
+                            "ecapa_synthetic_full.npz") if (wdir / n).exists()),
+        wdir / "ecapa_synthetic_full.npz",
+    )
     model, params = load_speaker_encoder(
-        Path(args.weights) if args.weights else wdir / "ecapa_synthetic_full.npz",
-        dtype=dtype)
+        Path(args.weights) if args.weights else default_w, dtype=dtype)
+    print(f"encoder: {args.weights or default_w}", flush=True)
     vad_w = next(wdir / n for n in ("vad_conv_synthetic.npz", "vad_synthetic.npz")
                  if (wdir / n).exists())
     vad, vad_params = load_vad(vad_w)

@@ -12,7 +12,9 @@ min/max speakers (``diarization_baseline.py:176-181``).
 """
 from .affinity import l2_normalize, cosine_affinity, whiten, asnorm_scores
 from .kmeans import kmeans, farthest_point_init
-from .spectral import spectral_cluster, estimate_num_speakers
+from .spectral import (
+    spectral_cluster, estimate_num_speakers, refine_labels_by_windows,
+)
 from .ahc import ahc_cluster
 from .density import hdbscan_cleaned, hdbscan_cluster, hdbscan_two_stage
 
@@ -24,6 +26,7 @@ __all__ = [
     "kmeans",
     "farthest_point_init",
     "spectral_cluster",
+    "refine_labels_by_windows",
     "estimate_num_speakers",
     "ahc_cluster",
     "hdbscan_cleaned",

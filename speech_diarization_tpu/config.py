@@ -104,6 +104,10 @@ class ClusterConfig:
     p_percentile: float = 0.90
     asnorm: bool = False              # AS-Norm scoring (diar_diag.py:197-208)
     asnorm_topk: int = 200
+    # window-driven recursive cluster bisection after clustering: rescues
+    # moderately-similar speaker pairs the affinity threshold leaves merged
+    # (cluster/spectral.refine_labels_by_windows); flagship pipeline only
+    refine_splits: bool = True
 
 
 @dataclass(frozen=True)

@@ -318,6 +318,11 @@ class DiarizationPipeline:
 
         with stage_timer(log, "cluster"):
             labels = self._cluster(seg_embs)
+            if cfg.cluster.refine_splits and len(speech2) > 1:
+                labels = cluster_mod.refine_labels_by_windows(
+                    labels, speech2, win_embs, starts_s, grid_win_s,
+                    cfg.cluster.max_speakers,
+                )
         speech2 = SegmentArray(speech2.starts, speech2.ends, labels)
         n_spk = int(labels.max()) + 1 if labels.size else 0
         log.info("clustered %d segments into %d speakers", len(speech2), n_spk)

@@ -176,3 +176,82 @@ class TestSpectralScaleRegression:
         for n in (713, 1435):
             labels = cluster.spectral_cluster(embs[:n], max_speakers=8)
             assert labels.max() + 1 == 3, f"n={n}: got {labels.max() + 1}"
+
+
+class TestRefineByWindows:
+    """Window-driven recursive bisection (cluster/spectral.py
+    refine_labels_by_windows): rescues merged speaker pairs the affinity
+    threshold left connected, without splitting true single speakers."""
+
+    @staticmethod
+    def _make_case(rng, cents, segs_per_spk=6, seg_s=3.0, win_s=1.0,
+                   hop_s=0.1, noise=0.08):
+        """Alternating-turn timeline; returns (segs, win_embs, starts_s,
+        true_spk_per_seg)."""
+        from speech_diarization_tpu.types import SegmentArray
+
+        starts, ends, spk = [], [], []
+        t = 0.0
+        for i in range(segs_per_spk * len(cents)):
+            s = i % len(cents)
+            starts.append(t)
+            ends.append(t + seg_s)
+            spk.append(s)
+            t += seg_s + 0.5
+        total = t
+        ws = np.arange(0, total - win_s + 1e-6, hop_s)
+        we = np.zeros((len(ws), cents.shape[1]))
+        for j, w0 in enumerate(ws):
+            c = w0 + win_s / 2
+            owner = -1
+            for s0, e0, k in zip(starts, ends, spk):
+                if s0 <= w0 and w0 + win_s <= e0:
+                    owner = k
+                    break
+            base = cents[owner] if owner >= 0 else rng.standard_normal(cents.shape[1]) * 0.01
+            we[j] = base + noise * rng.standard_normal(cents.shape[1])
+        segs = SegmentArray(np.array(starts), np.array(ends),
+                            np.zeros(len(starts), np.int32))
+        return segs, we.astype(np.float32), ws, np.array(spk)
+
+    def test_splits_merged_pair(self):
+        from speech_diarization_tpu.cluster import refine_labels_by_windows
+
+        rng = np.random.default_rng(0)
+        # two distinct speakers (centroid cosine ~0.3), all segments labeled
+        # as ONE cluster by a failed upstream clustering
+        a = rng.standard_normal(32)
+        b = rng.standard_normal(32)
+        a /= np.linalg.norm(a)
+        b = b - (b @ a) * a
+        b = 0.35 * a + np.sqrt(1 - 0.35 ** 2) * b / np.linalg.norm(b)
+        segs, we, ws, true_spk = self._make_case(rng, np.stack([a, b]))
+        labels = np.zeros(len(true_spk), np.int32)
+        out = refine_labels_by_windows(labels, segs, we, ws, 1.0, 8)
+        assert out.max() + 1 == 2
+        # split must match the true speaker partition (up to relabeling)
+        assert len(np.unique(out[true_spk == 0])) == 1
+        assert len(np.unique(out[true_spk == 1])) == 1
+
+    def test_does_not_split_single_speaker(self):
+        from speech_diarization_tpu.cluster import refine_labels_by_windows
+
+        rng = np.random.default_rng(1)
+        a = rng.standard_normal(32)
+        a /= np.linalg.norm(a)
+        segs, we, ws, true_spk = self._make_case(rng, a[None], segs_per_spk=12)
+        labels = np.zeros(len(true_spk), np.int32)
+        out = refine_labels_by_windows(labels, segs, we, ws, 1.0, 8)
+        assert out.max() + 1 == 1
+
+    def test_too_few_windows_declines(self):
+        from speech_diarization_tpu.cluster import refine_labels_by_windows
+
+        rng = np.random.default_rng(2)
+        a = rng.standard_normal(32); a /= np.linalg.norm(a)
+        b = -a  # maximally distinct
+        segs, we, ws, true_spk = self._make_case(
+            rng, np.stack([a, b]), segs_per_spk=1, seg_s=1.2)
+        labels = np.zeros(len(true_spk), np.int32)
+        out = refine_labels_by_windows(labels, segs, we, ws, 1.0, 8)
+        assert out.max() + 1 == 1  # below _SPLIT_MIN_WINDOWS: untouched
