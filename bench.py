@@ -207,16 +207,36 @@ def main() -> None:
     emit(rtf, f"{int(FULL_S)}s_full", {"wall_s": round(wall, 3),
                             "rtf_60s_bucket": round(small_rtf, 2)})
 
-    # -- milestone 3 (poison-safe tail): fused-vs-matmul fbank -----------------
+    extra = {"wall_s": round(wall, 3), "rtf_60s_bucket": round(small_rtf, 2)}
+
+    # -- milestone 3: corpus throughput (BASELINE config-5-lite) ---------------
+    # 6 x FULL_S files through the corpus worker on this one chip; aggregate
+    # audio-seconds / wall.  All shapes are already compiled, so this costs
+    # roughly 6 steady-state file walls.
+    if os.environ.get("SDTPU_BENCH_CORPUS", "1") == "1":
+        try:
+            from speech_diarization_tpu.pipelines.corpus import corpus_diarize
+
+            files = [(synth_audio(FULL_S, seed=40 + i), SR) for i in range(6)]
+            t0 = time.perf_counter()
+            report = corpus_diarize(files, cfg, pipeline_factory=lambda: pipe)
+            cwall = time.perf_counter() - t0
+            crtf = 6 * FULL_S / cwall
+            log(f"[corpus] 6x{int(FULL_S)}s: {cwall:.2f}s -> {crtf:.1f}x "
+                f"aggregate ({len(report.errors)} errors)")
+            extra["corpus_rtf"] = round(crtf, 2)
+            emit(rtf, f"{int(FULL_S)}s_full", extra)
+        except Exception as e:  # pragma: no cover
+            log(f"corpus bench failed: {str(e)[:200]}")
+
+    # -- milestone 4 (poison-safe tail): fused-vs-matmul fbank -----------------
     # Runs AFTER the final result line: if the Pallas compile fails it poisons
     # the process (utils/backend.py), but the headline JSON is already out.
     if os.environ.get("SDTPU_BENCH_FBANK", "1") == "1":
         try:
             fb = _fbank_micro_bench()
             log(f"fbank micro-bench: {fb}")
-            emit(rtf, f"{int(FULL_S)}s_full", {"wall_s": round(wall, 3),
-                                    "rtf_60s_bucket": round(small_rtf, 2),
-                                    **fb})
+            emit(rtf, f"{int(FULL_S)}s_full", {**extra, **fb})
         except Exception as e:  # pragma: no cover
             log(f"fbank micro-bench failed: {str(e)[:200]}")
 
