@@ -39,19 +39,20 @@ def build_pipeline(args):
     cfg = DiarizationConfig(
         cluster=ClusterConfig(method=args.cluster, max_speakers=args.max_speakers))
 
-    encode_fn = None
+    # build the (model, params) pair — the pipeline needs it (not a bare
+    # encode_fn) so grid_backend='auto' puts streaming-trained weights on the
+    # streaming grid they were trained under (ADVICE r1)
+    encoder = None
     if args.encoder_weights and args.encoder_weights.endswith(".npz"):
         from speech_diarization_tpu.train.recipes import load_speaker_encoder
 
-        model, params = load_speaker_encoder(args.encoder_weights)
-        encode_fn = jax.jit(partial(model.encode_batch, params))
+        encoder = load_speaker_encoder(args.encoder_weights)
     elif args.encoder_weights:
         from speech_diarization_tpu.models.ecapa import EcapaModel
         from speech_diarization_tpu.models.port_ecapa import load_ecapa_speechbrain
 
         model = EcapaModel()
-        params = load_ecapa_speechbrain(args.encoder_weights)
-        encode_fn = jax.jit(partial(model.encode_batch, params))
+        encoder = (model, load_ecapa_speechbrain(args.encoder_weights))
 
     vad_fn = None
     if args.vad_weights and Path(args.vad_weights).exists():
@@ -60,7 +61,7 @@ def build_pipeline(args):
         vad, vad_params = load_vad(args.vad_weights)
         vad_fn = jax.jit(partial(vad.probs, vad_params))
 
-    return DiarizationPipeline(cfg, encode_fn=encode_fn, vad_probs_fn=vad_fn)
+    return DiarizationPipeline(cfg, encoder=encoder, vad_probs_fn=vad_fn)
 
 
 def evaluate(pairs, pipe, collar: float, skip_overlap: bool):

@@ -48,7 +48,11 @@ def _add_common_config_args(p: argparse.ArgumentParser) -> None:
                    choices=["ecapa", "eres2netv2", "campp"])
     p.add_argument("--encoder-weights", type=str, default=None,
                    help="npz checkpoint (models/port.py format)")
-    p.add_argument("--vad-backend", default="energy", choices=["energy", "neural"])
+    p.add_argument("--vad-backend", default="auto",
+                   choices=["auto", "energy", "neural"],
+                   help="'auto' uses the trained neural VAD when weights are "
+                        "available (shipped or --vad-weights) and falls back "
+                        "to the deterministic energy VAD otherwise")
     p.add_argument("--vad-weights", type=str, default=None)
     p.add_argument("--verbose", "-v", action="store_true")
 
@@ -90,13 +94,15 @@ def build_pipeline_kwargs(args: argparse.Namespace) -> dict:
 
     import jax
 
-    from .models.registry import make_encoder
+    from .models.registry import make_encoder_model
 
     kwargs: dict = {}
-    encode_fn, _ = make_encoder(args.encoder, weights=args.encoder_weights,
-                                sample_rate=args.sample_rate)
-    kwargs["encode_fn"] = encode_fn
-    if args.vad_backend == "neural":
+    # pass the raw (model, params) pair so the pipeline's grid_backend='auto'
+    # resolves correctly: streaming-trained weights engage the streaming
+    # trunk-shared grid they were trained under (ADVICE r1)
+    kwargs["encoder"] = make_encoder_model(
+        args.encoder, weights=args.encoder_weights, sample_rate=args.sample_rate)
+    if args.vad_backend in ("neural", "auto"):
         from .models.vad import VadModel
         from .train.recipes import load_vad
 
@@ -112,10 +118,17 @@ def build_pipeline_kwargs(args: argparse.Namespace) -> dict:
         if weights:
             model, params = load_vad(weights)
             model.sample_rate = args.sample_rate
-        else:
+            kwargs["vad_probs_fn"] = jax.jit(partial(model.probs, params))
+        elif args.vad_backend == "neural":
+            import logging
+
+            logging.getLogger("sdtpu.cli").warning(
+                "--vad-backend neural but no weights found; RANDOM VAD "
+                "params (results will be meaningless — pass --vad-weights)")
             model = VadModel(sample_rate=args.sample_rate)
             params = model.init(jax.random.PRNGKey(1))
-        kwargs["vad_probs_fn"] = jax.jit(partial(model.probs, params))
+            kwargs["vad_probs_fn"] = jax.jit(partial(model.probs, params))
+        # 'auto' with no weights: leave the pipeline's energy VAD default
     return kwargs
 
 

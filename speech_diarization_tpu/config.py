@@ -85,6 +85,11 @@ class EmbedConfig:
     min_duration_ms: float = 500.0    # short segments get context padding
     pad_duration_ms: float = 150.0
     batch_size: int = 512
+    # auto-bucketing ceiling for the dense-grid embedder: long files may be
+    # batched up to this many windows per dispatch (each compiled shape is
+    # paid for once; 1024 is the largest worth compiling on axon — measured).
+    # Set equal to batch_size to pin the dispatch shape.
+    max_batch_size: int = 1024
     whiten: bool = False              # embedding whitening (diar_diag.py:187-194)
     dtype: str = "bfloat16"           # model compute dtype (f32 accumulation)
 

@@ -20,7 +20,7 @@ from .campp import CamPlusPlus, CamPlusPlusModel
 from .gtcrn import GTCRN, gtcrn_init_params
 from .zipenhancer import ZipEnhancerModel
 from .demix import DialogDemixer
-from .registry import make_encoder, BACKENDS
+from .registry import make_encoder, make_encoder_model, BACKENDS
 
 __all__ = [
     "conv1d_torch",
@@ -44,5 +44,6 @@ __all__ = [
     "ZipEnhancerModel",
     "DialogDemixer",
     "make_encoder",
+    "make_encoder_model",
     "BACKENDS",
 ]

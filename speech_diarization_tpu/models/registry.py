@@ -58,14 +58,21 @@ def _make_ecapa(weights, sample_rate: int, seed: int):
     return model, model.init(jax.random.PRNGKey(seed))
 
 
-def make_encoder(
+def make_encoder_model(
     backend: str = "ecapa",
     weights: str | Path | None = None,
     sample_rate: int = 16000,
     seed: int = 0,
-    jit: bool = True,
-) -> tuple[Callable, int]:
-    """Returns (encode_fn, emb_dim).  ``encode_fn(wavs [B,T]) -> [B,D]``."""
+) -> tuple:
+    """Returns the raw ``(model, params)`` pair for a backend.
+
+    Prefer this over :func:`make_encoder` when constructing a
+    ``DiarizationPipeline``: passing ``encoder=(model, params)`` lets the
+    pipeline resolve ``grid_backend='auto'`` correctly — streaming-trained
+    weights (``*_stream.npz``) run through the streaming trunk-shared grid
+    they were trained under, instead of the windowed per-utterance-stats
+    grid (a measured multi-point DER regression the other way around).
+    """
     if backend == "ecapa":
         model, params = _make_ecapa(weights, sample_rate, seed)
     elif backend == "eres2netv2":
@@ -90,7 +97,18 @@ def make_encoder(
             params = model.init(jax.random.PRNGKey(seed))
     else:
         raise ValueError(f"unknown encoder backend {backend!r}; choose from {BACKENDS}")
+    return model, params
 
+
+def make_encoder(
+    backend: str = "ecapa",
+    weights: str | Path | None = None,
+    sample_rate: int = 16000,
+    seed: int = 0,
+    jit: bool = True,
+) -> tuple[Callable, int]:
+    """Returns (encode_fn, emb_dim).  ``encode_fn(wavs [B,T]) -> [B,D]``."""
+    model, params = make_encoder_model(backend, weights, sample_rate, seed)
     fn = partial(model.encode_batch, params)
     if jit:
         fn = jax.jit(fn)

@@ -65,6 +65,7 @@ def corpus_diarize(
     pipeline_factory=None,
     encode_model=None,
     encode_params=None,
+    keep_results: bool = False,
     **pipeline_kwargs,
 ) -> CorpusReport:
     """Diarize many files across all available devices.
@@ -72,6 +73,10 @@ def corpus_diarize(
     ``pipeline_factory()`` may be passed to construct per-worker pipelines
     (e.g. with pre-loaded weights); default builds a ``DiarizationPipeline``
     from ``cfg``/``pipeline_kwargs`` per worker.
+
+    ``keep_results=True`` stores each file's full result object in its
+    report entry (key ``"result"``) so callers can score quality (DER)
+    without re-running — every entry also carries the source ``"index"``.
 
     When ``encode_model``/``encode_params`` are given AND there are fewer
     files than devices, each file's window grid is sharded across the whole
@@ -88,7 +93,7 @@ def corpus_diarize(
         # (parallel/inference.py; SURVEY.md §2.3)
         return _corpus_diarize_sharded(
             sources, cfg, devices, rttm_dir, encode_model, encode_params,
-            **pipeline_kwargs,
+            keep_results=keep_results, **pipeline_kwargs,
         )
     work: queue.Queue = queue.Queue()
     for i, src in enumerate(sources):
@@ -145,15 +150,19 @@ def corpus_diarize(
                         out = Path(rttm_dir) / (Path(src).stem + ".rttm")
                         out.parent.mkdir(parents=True, exist_ok=True)
                         write_rttm(out, result.segments, uri=Path(src).stem)
+                    entry = {
+                        "source": str(src) if isinstance(src, (str, Path)) else f"array[{idx}]",
+                        "index": idx,
+                        "segments": len(result.segments),
+                        "speakers": result.num_speakers,
+                        "wall_s": round(dt, 3),
+                        "audio_s": round(dur, 2),
+                        "device": str(dev),
+                    }
+                    if keep_results:
+                        entry["result"] = result
                     with lock:
-                        report.files.append({
-                            "source": str(src) if isinstance(src, (str, Path)) else f"array[{idx}]",
-                            "segments": len(result.segments),
-                            "speakers": result.num_speakers,
-                            "wall_s": round(dt, 3),
-                            "audio_s": round(dur, 2),
-                            "device": str(dev),
-                        })
+                        report.files.append(entry)
                         report.audio_s += dur
                 except Exception as e:  # structured failure table, keep going
                     with lock:
@@ -182,6 +191,7 @@ def _corpus_diarize_sharded(
     rttm_dir: str | Path | None,
     encode_model,
     encode_params,
+    keep_results: bool = False,
     **pipeline_kwargs,
 ) -> CorpusReport:
     """Few files, many chips: one pipeline whose embedding grid is sharded
@@ -206,14 +216,18 @@ def _corpus_diarize_sharded(
                 out = Path(rttm_dir) / (Path(src).stem + ".rttm")
                 out.parent.mkdir(parents=True, exist_ok=True)
                 write_rttm(out, result.segments, uri=Path(src).stem)
-            report.files.append({
+            entry = {
                 "source": str(src) if isinstance(src, (str, Path)) else f"array[{idx}]",
+                "index": idx,
                 "segments": len(result.segments),
                 "speakers": result.num_speakers,
                 "wall_s": round(dt, 3),
                 "audio_s": round(dur, 2),
                 "device": f"sharded[{len(devices)}]",
-            })
+            }
+            if keep_results:
+                entry["result"] = result
+            report.files.append(entry)
             report.audio_s += dur
         except Exception as e:
             report.errors.append({

@@ -155,15 +155,18 @@ class DiarizationPipeline:
     # ------------------------------------------------------------------ io --
     _PAD_BUCKET_S = 60.0  # pad to multiples of this so jit compiles per bucket
 
-    def _preprocess_device(self, y: jnp.ndarray, n_valid: jnp.ndarray, sr: int):
+    def _preprocess_device(self, y: jnp.ndarray, n_valid: jnp.ndarray, sr: int,
+                           scale: jnp.ndarray | float = 1.0):
         """One fused jitted pass: loudness norm + DC + pre-emphasis + clip.
         ``y`` is zero-padded to a bucket length; zeros don't pass the BS.1770
         gate (so the gain is unchanged) and the DC mean uses ``n_valid``.
         int16 input (the quantized-upload path) is dequantized here on
-        device — the host→device link is the scarce resource, not the VPU."""
+        device — the host→device link is the scarce resource, not the VPU.
+        ``scale`` undoes the host-side peak normalization applied before
+        quantization (see :meth:`_quantize_host`)."""
         cfg = self.cfg.audio
         if y.dtype == jnp.int16:
-            y = y.astype(jnp.float32) * (1.0 / 32768.0)
+            y = y.astype(jnp.float32) * (jnp.float32(scale) / 32767.0)
         if cfg.target_lufs is not None:
             y = loudness_normalize(y, sr, cfg.target_lufs)
         if cfg.remove_dc:
@@ -175,52 +178,60 @@ class DiarizationPipeline:
         return jnp.clip(y, -0.99, 0.99)
 
     @staticmethod
-    def _quantize_host(y: np.ndarray, t_pad: int) -> np.ndarray:
+    def _quantize_host(y: np.ndarray, t_pad: int) -> tuple[np.ndarray, float]:
         """Pad to the jit bucket and quantize f32 → int16 on host.  The
         waveform is by far the largest host→device transfer (38 MB/f32 for
         10 min) and the axon tunnel's transfer path degrades ~30x once any
         non-trivial program has run in the process (see STATUS.md), so
-        halving the bytes halves the dominant per-file upload cost.  int16
-        is the native precision of WAV/FLAC sources anyway (96 dB SNR);
-        dequantization happens inside the fused preprocess jit."""
-        t = y.shape[-1]
-        out = np.zeros(t_pad, np.int16)
-        out[:t] = np.clip(y * 32767.0, -32768.0, 32767.0).astype(np.int16)
-        return out
+        halving the bytes halves the dominant per-file upload cost.
 
-    def prefetch(self, source) -> tuple[jnp.ndarray, int, int]:
+        The signal is scaled to its own peak before quantizing (returned as
+        ``scale``; the device dequant multiplies it back), so quiet or
+        float/24-bit sources keep the full 16-bit resolution and samples
+        beyond ±1.0 are preserved rather than hard-clipped — the absolute
+        level is restored on device before loudness normalization."""
+        t = y.shape[-1]
+        peak = float(np.max(np.abs(y))) if t else 0.0
+        scale = peak if peak > 1e-6 else 1.0
+        out = np.zeros(t_pad, np.int16)
+        out[:t] = np.clip(y * (32767.0 / scale), -32768.0, 32767.0).astype(np.int16)
+        return out, scale
+
+    def prefetch(self, source) -> tuple[jnp.ndarray, int, int, float]:
         """Host decode + bucket pad + async device upload (``device_put``
         returns immediately), so a corpus worker can overlap file i+1's
-        upload with file i's compute.  Returns (device_wave, n_valid, sr) —
-        feed the triple back through ``__call__``/``load``."""
+        upload with file i's compute.  Returns (device_wave, n_valid, sr,
+        scale) — feed the tuple back through ``__call__``/``load``."""
         cfg = self.cfg.audio
         y, sr = read_audio(source, target_sr=cfg.sample_rate, mono=True)
         t = y.shape[-1]
         bucket = int(self._PAD_BUCKET_S * sr)
         t_pad = max(bucket, -(-t // bucket) * bucket)
-        yd = jax.device_put(self._quantize_host(y, t_pad))
-        return yd, t, sr
+        q, scale = self._quantize_host(y, t_pad)
+        yd = jax.device_put(q)
+        return yd, t, sr, scale
 
     def load(self, source) -> tuple[jnp.ndarray, int]:
         cfg = self.cfg.audio
-        if isinstance(source, tuple) and len(source) == 3 and isinstance(
+        if isinstance(source, tuple) and len(source) == 4 and isinstance(
                 source[0], jax.Array):
-            yd, t, sr = source  # prefetched (device_wave, n_valid, sr)
+            yd, t, sr, scale = source  # prefetched
         else:
             y, sr = read_audio(source, target_sr=cfg.sample_rate, mono=True)
             t = y.shape[-1]
             bucket = int(self._PAD_BUCKET_S * sr)
             t_pad = max(bucket, -(-t // bucket) * bucket)
-            yd = jnp.asarray(self._quantize_host(y, t_pad))
+            q, scale = self._quantize_host(y, t_pad)
+            yd = jnp.asarray(q)
         if self.enhance_fn is not None:
             if yd.dtype == jnp.int16:
-                yd = (yd.astype(jnp.float32) * (1.0 / 32768.0))
+                yd = yd.astype(jnp.float32) * (scale / 32767.0)
             yd = self.enhance_fn(yd)
         if not hasattr(self, "_preprocess_jit"):
             self._preprocess_jit = jax.jit(
                 self._preprocess_device, static_argnames=("sr",)
             )
-        yd = self._preprocess_jit(yd, jnp.float32(t), sr)
+        yd = self._preprocess_jit(yd, jnp.float32(t), sr, jnp.float32(scale))
         return yd[:t], sr
 
     # ----------------------------------------------------------------- vad --
@@ -256,6 +267,19 @@ class DiarizationPipeline:
                         "encoder with encode_grid_chunk; falling back to "
                         "windowed")
             streaming = False
+        if streaming:
+            # the streaming trunk pools whole mel frames, so the grid must
+            # align to the 10 ms mel hop — otherwise encode_grid_chunk would
+            # assert inside jit tracing (ADVICE r1).  Fall back gracefully.
+            mel_hop = sr * 10 // 1000
+            win = int(round(grid_win_s * sr))
+            hop = int(round(grid_hop_s * sr))
+            if win % mel_hop or hop % mel_hop:
+                log.warning(
+                    "grid geometry win=%.3fs hop=%.3fs is not a multiple of "
+                    "the 10 ms mel hop; streaming grid disabled, using the "
+                    "windowed backend", grid_win_s, grid_hop_s)
+                streaming = False
         # Dispatch VAD and the embedding grid together BEFORE pulling either:
         # the grid covers the whole file (it does not depend on VAD output),
         # so its compute overlaps the VAD pull + host segment algebra instead
@@ -271,7 +295,8 @@ class DiarizationPipeline:
             else:
                 embed_finish = embed_windows(
                     self.encode_fn, y, sr, grid_win_s, grid_hop_s,
-                    batch=cfg.embed.batch_size, defer=True,
+                    batch=cfg.embed.batch_size,
+                    max_batch=cfg.embed.max_batch_size, defer=True,
                 )
 
         with stage_timer(log, "vad"):
@@ -318,7 +343,11 @@ class DiarizationPipeline:
 
         with stage_timer(log, "cluster"):
             labels = self._cluster(seg_embs)
-            if cfg.cluster.refine_splits and len(speech2) > 1:
+            # window-driven bisection thresholds were calibrated on the
+            # flagship spectral + streaming setup; other methods keep their
+            # own behavior (ADVICE r1)
+            if (cfg.cluster.refine_splits and len(speech2) > 1
+                    and cfg.cluster.method == "spectral"):
                 labels = cluster_mod.refine_labels_by_windows(
                     labels, speech2, win_embs, starts_s, grid_win_s,
                     cfg.cluster.max_speakers,

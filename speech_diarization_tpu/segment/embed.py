@@ -46,6 +46,7 @@ def embed_windows(
     hop_s: float,
     batch: int = 256,
     defer: bool = False,
+    max_batch: int | None = None,
 ) -> np.ndarray | Callable[[], np.ndarray]:
     """Embed every window of the dense grid: [T] -> [n_windows, D].
 
@@ -73,16 +74,23 @@ def embed_windows(
     # long files while short files still get a single snug dispatch.
     # Candidates are powers-of-two multiples of the caller's batch (its value
     # stays the compile-shape floor, so explicitly small batches in tests
-    # keep their small shapes).
+    # keep their small shapes).  The caller's batch is also the CEILING
+    # unless ``max_batch`` explicitly opts into larger buckets — compiling a
+    # bigger shape can cost many minutes on a cold cache (ADVICE r1), so it
+    # must be a deliberate choice (the flagship pipeline opts in via
+    # EmbedConfig.max_batch_size).
     DISPATCH_EQUIV = 384
-    # cap keeps the compiled-shape set small and bounded: the axon compile
-    # time for the full-size encoder grows steeply with batch (512 ~ minutes,
-    # 1024 ~ 19 min, 2048 > 58 min — measured); 1024 is the largest shape
-    # worth paying for once.  Explicit larger batches are honored for callers
-    # who accept the compile.
-    cap = max(batch, 1024)
+    cap = max(batch, max_batch) if max_batch is not None else batch
     cands = {min(batch << k, cap) for k in range(4)}
-    batch = min(cands, key=lambda b: -(-w // b) * (b + DISPATCH_EQUIV))
+    chosen = min(cands, key=lambda b: -(-w // b) * (b + DISPATCH_EQUIV))
+    if chosen > batch:
+        import logging
+
+        logging.getLogger("sdtpu.embed").info(
+            "auto-bucketing embed batch %d -> %d for %d windows (first "
+            "compile of a new shape can take minutes without a warm cache)",
+            batch, chosen, w)
+    batch = chosen
     span = (batch - 1) * hop + win
     n_batches = -(-w // batch)
     needed = (n_batches - 1) * batch * hop + span
