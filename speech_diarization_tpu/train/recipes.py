@@ -35,6 +35,8 @@ def train_vad_synthetic(
     out_path: str | Path | None = None,
     eval_every: int = 50,
     arch: str = "gru",
+    example_fn=None,
+    init_params: dict | None = None,
 ) -> tuple[dict, dict]:
     """Train the Silero-class VAD on synthetic speech/noise; returns
     (params, metrics).  CPU-friendly (~2 min at default settings).
@@ -42,11 +44,17 @@ def train_vad_synthetic(
     ``arch``: 'gru' (Silero-class recurrent net, streaming-state parity) or
     'conv' (scan-free TCN — the fast batch-inference backend; the GRU's
     sequential scan was 71% of the 600 s pipeline wall on the axon chip).
+
+    ``example_fn(rng, dur_s) -> (wave, frame_labels)`` overrides the data
+    source (e.g. ``train/multicond.make_vad_example_mc`` for the
+    mixed-family + acoustics recipe); ``init_params`` warm-starts.
     """
     from ..models.vad import VadConvNet
 
     model = VadModel(VadConvNet() if arch == "conv" else None)
-    params = model.init(jax.random.PRNGKey(seed))
+    params = init_params if init_params is not None else model.init(
+        jax.random.PRNGKey(seed))
+    example_fn = example_fn or make_vad_example
     opt = optax.adam(lr)
     opt_state = opt.init(params)
     rng = np.random.default_rng(seed)
@@ -63,7 +71,7 @@ def train_vad_synthetic(
         return optax.apply_updates(p, updates), o, loss
 
     def batch_data():
-        ws, ls = zip(*(make_vad_example(rng, dur_s) for _ in range(batch)))
+        ws, ls = zip(*(example_fn(rng, dur_s) for _ in range(batch)))
         return jnp.asarray(np.stack(ws)), jnp.asarray(np.stack(ls))
 
     metrics = {"loss": []}
@@ -104,6 +112,9 @@ def train_speaker_encoder_synthetic(
     net=None,
     out_path: str | Path | None = None,
     utterance_cache: int = 0,
+    init_params: dict | None = None,
+    bank_fn=None,
+    batch_fn=None,
 ) -> tuple[dict, dict]:
     """Train a (small) ECAPA on synthetic speaker profiles with AAM-softmax;
     returns (params, metrics with final loss + probe cluster purity).
@@ -111,6 +122,9 @@ def train_speaker_encoder_synthetic(
     ``utterance_cache > 0`` pre-generates that many utterances and samples
     batches from the cache (fresh gain/pre-emphasis augmentation per draw) —
     on TPU the ~50 ms/utterance host synthesis otherwise dominates the step.
+
+    ``bank_fn``/``batch_fn`` override the data source (see
+    ``train_speaker_encoder_streaming``); ``init_params`` warm-starts.
     """
     import optax as _optax
 
@@ -122,13 +136,17 @@ def train_speaker_encoder_synthetic(
                            se_channels=32, att_channels=32)
     model = EcapaModel(net)
     key = jax.random.PRNGKey(seed)
-    params = model.init(key)
-    params["classifier"] = jax.random.normal(
-        jax.random.fold_in(key, 1), (n_speakers, net.emb_dim)) * 0.05
+    params = init_params if init_params is not None else model.init(key)
+    if "classifier" not in params:
+        params["classifier"] = jax.random.normal(
+            jax.random.fold_in(key, 1), (n_speakers, net.emb_dim)) * 0.05
     opt = _optax.adam(lr)
     opt_state = opt.init(params)
     rng = np.random.default_rng(seed)
-    bank = make_speaker_bank(rng, n_speakers)
+    bank_fn = bank_fn or make_speaker_bank
+    if batch_fn is not None:
+        make_speaker_batch = batch_fn  # noqa: F811 - intentional override
+    bank = bank_fn(rng, n_speakers)
 
     if utterance_cache:
         cw, cl = make_speaker_batch(rng, bank, utterance_cache,
@@ -205,6 +223,8 @@ def train_speaker_encoder_streaming(
     win_s: float = 1.0,
     hop_s: float = 0.5,
     init_params: dict | None = None,
+    bank_fn=None,
+    batch_fn=None,
 ) -> tuple[dict, dict]:
     """Train an ECAPA whose windows are pooled from ONE sliding-statistics
     trunk pass (``EcapaModel.encode_grid_chunk``) — i.e. under exactly the
@@ -238,7 +258,13 @@ def train_speaker_encoder_streaming(
     opt = _optax.adam(lr)
     opt_state = opt.init(params)
     rng = np.random.default_rng(seed)
-    bank = make_speaker_bank(rng, n_speakers)
+    # pluggable data source: bank_fn(rng, n) -> bank,
+    # batch_fn(rng, bank, b, dur_s=..., preprocess_aug=...) -> (wavs, labels)
+    # (e.g. train/multicond's mixed-family + acoustics generators)
+    bank_fn = bank_fn or make_speaker_bank
+    if batch_fn is not None:
+        make_speaker_batch = batch_fn  # noqa: F811 - intentional override
+    bank = bank_fn(rng, n_speakers)
 
     if utterance_cache:
         cw, cl = make_speaker_batch(rng, bank, utterance_cache, dur_s=dur_s,
