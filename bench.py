@@ -84,14 +84,12 @@ def score_der(result, truth) -> float:
 
 
 def setup_compilation_cache() -> None:
-    import jax
-
-    cache_dir = Path(__file__).resolve().parent / ".jax_cache"
-    cache_dir.mkdir(exist_ok=True)
     try:
-        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        from speech_diarization_tpu.utils.cache import (
+            setup_compilation_cache as _setup,
+        )
+
+        cache_dir = _setup(Path(__file__).resolve().parent)
         log(f"compilation cache: {cache_dir} "
             f"({sum(1 for _ in cache_dir.iterdir())} entries)")
     except Exception as e:  # pragma: no cover - older jax

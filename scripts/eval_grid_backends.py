@@ -35,11 +35,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    cache = Path(__file__).resolve().parents[1] / ".jax_cache"
-    cache.mkdir(exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", str(cache))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    from speech_diarization_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache(Path(__file__).resolve().parents[1])
 
     from speech_diarization_tpu.config import ClusterConfig, DiarizationConfig
     from speech_diarization_tpu.metrics.der import diarization_error_rate

@@ -59,7 +59,8 @@ def make_file(domain: str, seed: int, dur_s: float, n_speakers: int, sr: int):
     return make_conversation_heldout(rng, dur_s, n_speakers=n_speakers, sr=sr, **kw)
 
 
-def build_pipeline(cpu_dtype: bool):
+def build_pipeline(cpu_dtype: bool, enc_weights: str | None = None,
+                   vad_weights: str | None = None):
     """The shipped production configuration (same weights bench.py uses)."""
     from functools import partial
 
@@ -71,18 +72,20 @@ def build_pipeline(cpu_dtype: bool):
     from speech_diarization_tpu.train.recipes import load_speaker_encoder, load_vad
 
     wroot = Path(__file__).resolve().parents[1] / "weights"
-    enc_w = next((wroot / n for n in ("ecapa_synthetic_full_stream.npz",
-                                      "ecapa_synthetic_full.npz",
-                                      "ecapa_synthetic.npz")
-                  if (wroot / n).exists()), None)
+    enc_w = Path(enc_weights) if enc_weights else next(
+        (wroot / n for n in ("ecapa_synthetic_full_stream.npz",
+                             "ecapa_synthetic_full.npz",
+                             "ecapa_synthetic.npz")
+         if (wroot / n).exists()), None)
     if enc_w is None:
         raise SystemExit("no shipped encoder weights under weights/")
     dtype = jnp.float32 if cpu_dtype else jnp.bfloat16
     model, params = load_speaker_encoder(enc_w, dtype=dtype)
 
-    vad_w = next((wroot / n for n in ("vad_conv_synthetic.npz",
-                                      "vad_synthetic.npz")
-                  if (wroot / n).exists()), None)
+    vad_w = Path(vad_weights) if vad_weights else next(
+        (wroot / n for n in ("vad_conv_synthetic.npz",
+                             "vad_synthetic.npz")
+         if (wroot / n).exists()), None)
     vad_fn = None
     if vad_w is not None:
         vad, vad_params = load_vad(vad_w)
@@ -101,6 +104,8 @@ def main() -> None:
     ap.add_argument("--speakers", type=int, default=3)
     ap.add_argument("--domains", type=str, default=",".join(DOMAINS))
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--enc-weights", type=str, default=None)
+    ap.add_argument("--vad-weights", type=str, default=None)
     args = ap.parse_args()
 
     if args.cpu:
@@ -114,7 +119,9 @@ def main() -> None:
     from speech_diarization_tpu.types import SegmentArray
 
     sr = 16000
-    pipe, enc_name, vad_name = build_pipeline(cpu_dtype=args.cpu)
+    pipe, enc_name, vad_name = build_pipeline(
+        cpu_dtype=args.cpu, enc_weights=args.enc_weights,
+        vad_weights=args.vad_weights)
     print(f"pipeline: encoder={enc_name} vad={vad_name} "
           f"cluster=spectral (production config)", file=sys.stderr)
 

@@ -32,7 +32,8 @@ sys.path.insert(0, str(ROOT))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("what", choices=["vad", "encoder", "encoder-windowed"])
+    ap.add_argument("what", choices=["vad", "encoder", "encoder-windowed",
+                                     "encoder-proto"])
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--cache", type=int, default=768)
@@ -42,6 +43,8 @@ def main() -> None:
     ap.add_argument("--cold", action="store_true",
                     help="train from scratch instead of warm-starting r1 weights")
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--src", type=str, default=None,
+                    help="warm-start checkpoint (default: the r1 weights)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -58,15 +61,11 @@ def main() -> None:
     )
     from speech_diarization_tpu.train import recipes
 
-    # persistent compile cache (the axon chip pays minutes per new shape)
-    cache_dir = ROOT / ".jax_cache"
-    cache_dir.mkdir(exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception:
-        pass
+    # persistent compile cache (the axon chip pays minutes per new shape);
+    # host/context-fingerprinted — cross-machine XLA:CPU AOT entries SIGILL
+    from speech_diarization_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache(ROOT)
 
     wroot = ROOT / "weights"
     channels = ChannelBank(np.random.default_rng(args.seed + 1))
@@ -96,7 +95,7 @@ def main() -> None:
     batch_fn = partial(make_speaker_batch_mc, channels=channels)
 
     if args.what == "encoder":
-        src = wroot / "ecapa_synthetic_full_stream.npz"
+        src = Path(args.src) if args.src else wroot / "ecapa_synthetic_full_stream.npz"
         init = None
         net = None
         if not args.cold and src.exists():
@@ -125,6 +124,33 @@ def main() -> None:
         )
         print(f"stream encoder mc done in {time.time()-t0:.0f}s: "
               f"probe_purity {metrics['probe_purity']:.4f} -> {out}")
+        return
+
+    if args.what == "encoder-proto":
+        import logging
+
+        logging.basicConfig(level=logging.INFO)
+        from speech_diarization_tpu.train.proto import (
+            train_speaker_encoder_proto,
+        )
+
+        src = Path(args.src) if args.src else wroot / "ecapa_mc_full_stream.npz"
+        init = None
+        net = None
+        if not args.cold and src.exists():
+            model, init = recipes.load_speaker_encoder(src)
+            net = model.net
+        out = args.out or wroot / "ecapa_proto_stream.npz"
+        params, metrics = train_speaker_encoder_proto(
+            steps=args.steps or 2000,
+            lr=args.lr or 3e-4,
+            seed=args.seed,
+            net=net,
+            out_path=out,
+            init_params=init,
+        )
+        print(f"proto encoder done in {time.time()-t0:.0f}s: "
+              f"unseen_separation {metrics['unseen_separation']:.4f} -> {out}")
         return
 
     if args.what == "encoder-windowed":

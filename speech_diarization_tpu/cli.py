@@ -197,9 +197,26 @@ def cmd_enhance(args) -> int:
 
     params = None
     if args.weights:
-        from .models.port import load_params_npz
+        if str(args.weights).endswith(".npz"):
+            from .models.port import load_params_npz
 
-        params = load_params_npz(args.weights)
+            params = load_params_npz(args.weights)
+        elif args.backend == "gtcrn":
+            # the reference's artifact format: models.gtcrn/
+            # model_trained_on_dns3.tar (gtcrn_wrap.py:156-161)
+            from .models.port import load_gtcrn_checkpoint
+
+            params = load_gtcrn_checkpoint(args.weights)
+        elif args.backend == "zipenhancer-ref":
+            # ModelScope bundle state_dict (zipenhancer_pipe.py:119-125)
+            from .models.port_zipenhancer import load_zipenhancer_modelscope
+
+            params = load_zipenhancer_modelscope(args.weights)
+        else:
+            raise SystemExit(
+                f"--weights {args.weights}: torch checkpoints are supported "
+                "for --backend gtcrn (.tar) and zipenhancer-ref (ModelScope "
+                "bin); use .npz for the trainable backends")
     written = enhance_batch(args.root, backend=args.backend, params=params)
     print(f"enhanced {len(written)} files")
     return 0
@@ -243,7 +260,11 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("enhance", help="batch speech enhancement")
     p.add_argument("root")
-    p.add_argument("--backend", default="gtcrn", choices=["gtcrn", "zipenhancer"])
+    p.add_argument("--backend", default="gtcrn",
+                   choices=["gtcrn", "zipenhancer", "zipenhancer-ref"],
+                   help="zipenhancer-ref = the published ZipEnhancer graph "
+                        "(loads the real ModelScope checkpoint); zipenhancer "
+                        "= the trainable same-family net")
     p.add_argument("--weights", default=None)
     p.add_argument("--verbose", "-v", action="store_true")
     p.set_defaults(fn=cmd_enhance)

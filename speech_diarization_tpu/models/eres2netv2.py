@@ -288,9 +288,19 @@ def load_eres2netv2(src, net: ERes2NetV2 | None = None, strict: bool = True) -> 
 
 def onnx_initializers(path) -> dict[str, np.ndarray]:
     """Extract named initializers from an ONNX graph (torch exports keep the
-    original parameter names for weights)."""
-    import onnx
-    from onnx import numpy_helper
+    original parameter names for weights).
+
+    Uses the ``onnx`` package when present; otherwise falls back to the
+    self-contained protobuf-subset reader (``io/onnx_lite.py``) so the
+    ERes2NetV2/CAM++ artifact path works in images without onnx installed.
+    """
+    try:
+        import onnx
+        from onnx import numpy_helper
+    except ImportError:
+        from ..io.onnx_lite import read_initializers
+
+        return read_initializers(path)
 
     model = onnx.load(str(path))
     return {i.name: numpy_helper.to_array(i) for i in model.graph.initializer}

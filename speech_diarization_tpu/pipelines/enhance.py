@@ -225,4 +225,20 @@ def make_enhance_fn(backend: str, params=None, **kwargs) -> Callable:
                 params = model.init(jax.random.PRNGKey(0))
         fwd = jax.jit(partial(model.apply, params))
         return lambda y: jnp.asarray(windowed_enhance(fwd, y, **kwargs))
+    if backend == "zipenhancer-ref":
+        # the published ZipEnhancer graph (models/zipenhancer_ref.py) — the
+        # backend the real ModelScope artifact loads into
+        # (iic/speech_zipenhancer_ans_multiloss_16k_base,
+        # /root/reference/zipenhancer_pipe.py:119-125)
+        from ..models.zipenhancer_ref import ZipEnhancerRef
+
+        model = ZipEnhancerRef()
+        if params is None:
+            log.warning(
+                "zipenhancer-ref: no checkpoint given — RANDOM weights; "
+                "'enhanced' audio will be garbage. Port the ModelScope "
+                "artifact via models/port_zipenhancer.load_zipenhancer_modelscope.")
+            params = model.init(jax.random.PRNGKey(0))
+        fwd = jax.jit(partial(model.apply, params))
+        return lambda y: jnp.asarray(windowed_enhance(fwd, y, **kwargs))
     raise ValueError(f"unknown enhancement backend: {backend}")

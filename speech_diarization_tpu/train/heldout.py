@@ -157,8 +157,10 @@ def synth_rir(
 
 
 def apply_reverb(wave: np.ndarray, rir: np.ndarray) -> np.ndarray:
+    from scipy.signal import fftconvolve
+
     n = len(wave)
-    out = np.convolve(wave.astype(np.float64), rir.astype(np.float64))[:n]
+    out = fftconvolve(wave.astype(np.float64), rir.astype(np.float64))[:n]
     peak_in = np.abs(wave).max() + 1e-9
     peak_out = np.abs(out).max() + 1e-9
     return (out * (peak_in / peak_out)).astype(np.float32)
