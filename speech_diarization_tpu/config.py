@@ -113,6 +113,12 @@ class ClusterConfig:
     # moderately-similar speaker pairs the affinity threshold leaves merged
     # (cluster/spectral.refine_labels_by_windows); flagship pipeline only
     refine_splits: bool = True
+    # bisection split threshold: None = take the encoder's calibrated value
+    # (npz meta ``refine_sub_cos``, scripts/calibrate_bisect.py) falling back
+    # to the built-in default; a float here overrides both; an encoder that
+    # declares <= 0 (no measured single/merged separation on its cosine
+    # scale) disables the refine stage unless this override says otherwise.
+    refine_sub_cos: float | None = None
 
 
 @dataclass(frozen=True)

@@ -68,3 +68,14 @@ def load_params_meta(path: str | Path) -> dict | None:
         if "__meta__" not in data.files:
             return None
         return json.loads(bytes(data["__meta__"]).decode())
+
+
+def update_params_meta(path: str | Path, **updates) -> dict:
+    """Merge ``updates`` into a checkpoint's ``__meta__`` sidecar in place
+    (e.g. a calibrated ``refine_sub_cos`` from scripts/calibrate_bisect.py).
+    Returns the merged meta."""
+    with np.load(str(path)) as data:
+        arrays = {k: data[k] for k in data.files if k != "__meta__"}
+    meta = (load_params_meta(path) or {}) | updates
+    save_params_npz(arrays, path, meta=meta)
+    return meta

@@ -55,6 +55,8 @@ class EnsembleDemixer:
         chunk_s: float = 10.0,
         overlap: float = 0.25,
         n_models: int = 3,
+        shifts: int = 1,
+        max_shift_s: float = 0.5,
     ):
         self.model = model or DialogDemixer()
         if param_sets is None:
@@ -78,6 +80,8 @@ class EnsembleDemixer:
         self.param_sets = list(param_sets)
         self.chunk_s = chunk_s
         self.overlap = overlap
+        self.shifts = max(1, int(shifts))
+        self.max_shift_s = max_shift_s
         self._fwd = jax.jit(self.model.apply)
 
     @property
@@ -85,9 +89,33 @@ class EnsembleDemixer:
         return STEMS
 
     def separate(self, wav: np.ndarray, sample_rate: int) -> np.ndarray:
-        """[2, T] @44.1 kHz -> [3, 2, T] (ensemble mean, chunked OLA)."""
+        """[2, T] @44.1 kHz -> [3, 2, T] (ensemble mean, chunked OLA).
+
+        With ``shifts > 1``, the Demucs shift-equivariance trick
+        (``dialog-demix.py:66`` passes ``shifts=1`` to ``apply_model``): the
+        input is offset by evenly-spread sub-``max_shift_s`` amounts, each
+        shifted copy is separated, outputs are re-aligned and averaged —
+        suppressing chunk-boundary artifacts the conv net is not
+        shift-invariant to.
+        """
         assert wav.ndim == 2 and wav.shape[0] == 2, "input must be [2, T] stereo"
         assert sample_rate == DEMIX_SR, "sample rate must be 44100"
+        if self.shifts > 1:
+            t = wav.shape[-1]
+            max_shift = int(self.max_shift_s * sample_rate)
+            offsets = [int(round(s * max_shift / self.shifts))
+                       for s in range(self.shifts)]
+            padded = np.pad(wav, ((0, 0), (max_shift, max_shift)))
+            acc = None
+            for off in offsets:
+                shifted = padded[:, max_shift - off: 2 * max_shift - off + t]
+                out = self._separate_once(shifted, sample_rate)
+                out = out[:, :, off: off + t]
+                acc = out if acc is None else acc + out
+            return acc / self.shifts
+        return self._separate_once(wav, sample_rate)
+
+    def _separate_once(self, wav: np.ndarray, sample_rate: int) -> np.ndarray:
         t = wav.shape[-1]
         chunk = int(self.chunk_s * sample_rate)
         hop = int(chunk * (1.0 - self.overlap))

@@ -346,11 +346,19 @@ class DiarizationPipeline:
             # window-driven bisection thresholds were calibrated on the
             # flagship spectral + streaming setup; other methods keep their
             # own behavior (ADVICE r1)
-            if (cfg.cluster.refine_splits and len(speech2) > 1
+            refine_thr = cfg.cluster.refine_sub_cos
+            if refine_thr is None:
+                refine_thr = getattr(self._grid_model, "refine_sub_cos", None)
+            if refine_thr is None:
+                from ..cluster.spectral import _SPLIT_MAX_CENT_COS
+
+                refine_thr = _SPLIT_MAX_CENT_COS
+            if (cfg.cluster.refine_splits and refine_thr > 0
+                    and len(speech2) > 1
                     and cfg.cluster.method == "spectral"):
                 labels = cluster_mod.refine_labels_by_windows(
                     labels, speech2, win_embs, starts_s, grid_win_s,
-                    cfg.cluster.max_speakers,
+                    cfg.cluster.max_speakers, sub_cos_thr=refine_thr,
                 )
         speech2 = SegmentArray(speech2.starts, speech2.ends, labels)
         n_spk = int(labels.max()) + 1 if labels.size else 0

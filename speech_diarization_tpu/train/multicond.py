@@ -39,7 +39,15 @@ def make_mc_speaker_bank(rng: np.random.Generator, n_speakers: int):
     f0s = rng.permutation(np.linspace(88.0, 285.0, n_speakers))
     shifts = rng.permutation(np.linspace(0.85, 1.22, n_speakers))
     return [
-        {"f0": float(f0s[k]), "shift": float(shifts[k])}
+        {"f0": float(f0s[k]), "shift": float(shifts[k]),
+         # full formant vector: the harmonic family's speaker identity is
+         # the (f0, formant-pattern) pair — the same identity manifold
+         # synthetic.make_conversation draws from (synthetic.py:315-319).
+         # A single tract-scale scalar collapses that manifold and the
+         # encoder never learns to use formant PATTERN (measured: proto
+         # encoder at 33% in-domain confusion while 7.7% held-out).
+         "formants": rng.uniform([300.0, 900.0, 2200.0],
+                                 [900.0, 2300.0, 3500.0])}
         for k in range(n_speakers)
     ]
 
@@ -58,7 +66,8 @@ def render_speaker(
     if family == "lpc":
         return synth_voice_lpc(rng, dur_s, sr, f0=f0,
                                formant_shift=prof["shift"])
-    formants = _BASE_FORMANTS * prof["shift"] * rng.uniform(0.92, 1.08, 3)
+    base = np.asarray(prof.get("formants", _BASE_FORMANTS * prof["shift"]))
+    formants = base * rng.uniform(0.97, 1.03, 3)
     return synth_speech_like(rng, dur_s, sr, f0=f0, formants=formants)
 
 
@@ -67,13 +76,28 @@ class ChannelBank:
     example would dominate a 1-core host)."""
 
     def __init__(self, rng: np.random.Generator, sr: int = 16000, n_rirs: int = 24,
-                 rt60_range: tuple[float, float] = (0.12, 0.5)):
+                 rt60_range: tuple[float, float] = (0.12, 0.5),
+                 babble_s: float = 8.0, n_babble: int = 4):
         self.sr = sr
         self.rirs = [
             synth_rir(rng, sr, rt60_s=float(rng.uniform(*rt60_range)),
                       direct_ratio=float(rng.uniform(0.5, 0.85)))
             for _ in range(n_rirs)
         ]
+        # babble beds: sums of competing voices (both families).  Babble is
+        # the hardest eval noise (measured 60%+ confusion at 15 dB SNR when
+        # the encoder never saw it) — unlike white/pink it has speech
+        # statistics, so the encoder must learn foreground/background
+        # contrast, not just spectral denoising.
+        self.babbles = []
+        for _ in range(n_babble):
+            bed = np.zeros(int(babble_s * sr), np.float32)
+            for _ in range(6):
+                prof = {"f0": float(rng.uniform(88.0, 285.0)),
+                        "shift": float(rng.uniform(0.85, 1.22))}
+                v = render_speaker(rng, prof, babble_s, sr)
+                bed[: len(v)] += v[: len(bed)]
+            self.babbles.append(bed / (np.max(np.abs(bed)) + 1e-9))
 
     def apply(self, rng: np.random.Generator, wave: np.ndarray,
               reverb_p: float = 0.5, snr_db: tuple[float, float] = (8.0, 30.0),
@@ -83,16 +107,20 @@ class ChannelBank:
             out = apply_reverb(out, self.rirs[rng.integers(0, len(self.rirs))])
         if rng.uniform() < noise_p:
             n = len(out)
-            kind = rng.integers(0, 3)
+            kind = rng.integers(0, 4)
             if kind == 0:
                 noise = rng.standard_normal(n)
             elif kind == 1:  # pink-ish
                 noise = np.convolve(rng.standard_normal(n),
                                     np.ones(8) / 8.0, mode="same")
-            else:  # mains hum + hiss
+            elif kind == 2:  # mains hum + hiss
                 t = np.arange(n) / self.sr
                 noise = (np.sin(2 * np.pi * rng.uniform(50, 120) * t)
                          + 0.5 * rng.standard_normal(n))
+            else:  # babble (competing speech)
+                bed = self.babbles[rng.integers(0, len(self.babbles))]
+                off = rng.integers(0, max(1, len(bed) - n)) if len(bed) > n else 0
+                noise = np.resize(bed[off:], n).astype(np.float64)
             sig_pow = float(np.mean(out.astype(np.float64) ** 2) + 1e-12)
             noise_pow = float(np.mean(noise ** 2) + 1e-12)
             snr = float(rng.uniform(*snr_db))
@@ -138,8 +166,13 @@ def make_vad_example_mc(
     if channels is not None:
         # reverb smears energy past offsets; keep it short relative to the
         # 10 ms frame grid by capping at the bank's rt60 range (<=0.5 s) and
-        # accept the label noise — the morphology stage absorbs it
-        wave = channels.apply(rng, wave)
+        # accept the label noise — the morphology stage absorbs it.
+        # SNR floor 3 dB: the measured white-noise failure (57% miss at
+        # 10 dB SNR eval) sat just inside the old >=8 dB envelope — speech
+        # frame probs hovered at ~0.47, under the hysteresis on-threshold.
+        # Babble backgrounds (bank kind 3) teach foreground-vs-babble: the
+        # old VAD scored 0.89 on babble-only regions.
+        wave = channels.apply(rng, wave, snr_db=(3.0, 30.0))
     wave = wave + 0.003 * rng.standard_normal(n).astype(np.float32)
     if preprocess_aug:
         if rng.uniform() < 0.5:  # pre-emphasis (dsp/preprocess.py default)

@@ -111,9 +111,11 @@ def train_speaker_encoder_proto(
     channels = ChannelBank(rng)
 
     def render_pool():
-        profs = [{"f0": float(rng.uniform(85.0, 290.0)),
-                  "shift": float(rng.uniform(0.84, 1.24))}
-                 for _ in range(pool_speakers)]
+        from .multicond import make_mc_speaker_bank
+
+        # full-identity profiles (f0 + tract scale + formant pattern) — the
+        # same identity manifold the in-domain conversations draw from
+        profs = make_mc_speaker_bank(rng, pool_speakers)
         pool = np.zeros((pool_speakers, pool_utts, n), np.float32)
         for s, prof in enumerate(profs):
             for u in range(pool_utts):

@@ -357,6 +357,12 @@ def load_speaker_encoder(path: str | Path, dtype=None):
     # per-window pooling) declare it; pipelines resolve grid_backend='auto'
     # to the trunk-shared streaming grid only for such weights
     model.streaming_trained = bool(meta.get("streaming_stats", False))
+    # window-bisection split threshold calibrated for THIS encoder's cosine
+    # scale (scripts/calibrate_bisect.py).  None = not calibrated (pipeline
+    # default applies); <= 0 = measured NO single/merged separation, the
+    # refine stage must not run with these weights.
+    rsc = meta.get("refine_sub_cos")
+    model.refine_sub_cos = float(rsc) if rsc is not None else None
     return model, params
 
 

@@ -2,11 +2,14 @@
 (cosine vs f32) — the precision contract behind the DER-within-0.5 budget
 (SURVEY.md §7.4 item 6)."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
 
 from speech_diarization_tpu.models.ecapa import EcapaModel, EcapaTdnn
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast core (make test-fast)
 
 
 def test_bf16_embeddings_track_f32():

@@ -18,6 +18,7 @@ def _conv_wave(sr=16000):
 
 
 class TestCli:
+    @pytest.mark.slow
     def test_diarize_command(self, tmp_path, capsys):
         from speech_diarization_tpu.cli import main
 
@@ -57,6 +58,7 @@ class TestCli:
         with pytest.raises(KeyError):
             config_from_dict({"cluster": {"metod": "ahc"}})
 
+    @pytest.mark.slow
     def test_enhance_command(self, tmp_path, capsys):
         from speech_diarization_tpu.cli import main
 
@@ -68,6 +70,7 @@ class TestCli:
         assert "enhanced 1 files" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 class TestWebuiHelpers:
     def test_normalize_gradio_audio(self):
         from speech_diarization_tpu.webui import normalize_gradio_audio

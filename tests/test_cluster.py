@@ -159,6 +159,7 @@ class TestHdbscan:
             assert labels.shape == (40,)
 
 
+@pytest.mark.slow
 class TestSpectralScaleRegression:
     """1-hr 3-speaker regression: 1435 real segment embeddings from the TPU
     pipeline (tests/data/segembs_1hr_3spk.npz).  The dense fallback's trivial
@@ -243,6 +244,55 @@ class TestRefineByWindows:
         labels = np.zeros(len(true_spk), np.int32)
         out = refine_labels_by_windows(labels, segs, we, ws, 1.0, 8)
         assert out.max() + 1 == 1
+
+    def test_encoder_declared_threshold_gates_pipeline_refine(self, tmp_path):
+        """An encoder whose npz meta declares ``refine_sub_cos <= 0``
+        (calibration found NO single/merged separation on its cosine scale)
+        must disable the pipeline's refine stage; a config override
+        re-enables it (config.ClusterConfig.refine_sub_cos)."""
+        from speech_diarization_tpu.models.port import (
+            load_params_meta, update_params_meta, save_params_npz,
+        )
+
+        p = tmp_path / "enc.npz"
+        save_params_npz({"w": np.zeros(3, np.float32)}, p,
+                        meta={"streaming_stats": True})
+        update_params_meta(p, refine_sub_cos=-1.0)
+        meta = load_params_meta(p)
+        assert meta["refine_sub_cos"] == -1.0
+        assert meta["streaming_stats"] is True  # merge preserved
+
+        # the pipeline resolution logic: encoder meta -> model attribute
+        class FakeModel:
+            refine_sub_cos = -1.0
+
+        from speech_diarization_tpu.config import ClusterConfig
+
+        cfg = ClusterConfig()
+        thr = cfg.refine_sub_cos
+        if thr is None:
+            thr = getattr(FakeModel, "refine_sub_cos", None)
+        assert not (cfg.refine_splits and thr > 0)  # refine stays off
+
+        cfg2 = ClusterConfig(refine_sub_cos=0.5)  # explicit override wins
+        thr2 = cfg2.refine_sub_cos
+        assert cfg2.refine_splits and thr2 > 0
+
+    def test_custom_threshold_respected(self):
+        """A stricter sub_cos_thr must stop a split the default would make."""
+        from speech_diarization_tpu.cluster import refine_labels_by_windows
+
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal(32)
+        b = rng.standard_normal(32)
+        a /= np.linalg.norm(a)
+        b = b - (b @ a) * a
+        b = 0.35 * a + np.sqrt(1 - 0.35 ** 2) * b / np.linalg.norm(b)
+        segs, we, ws, true_spk = self._make_case(rng, np.stack([a, b]))
+        labels = np.zeros(len(true_spk), np.int32)
+        out = refine_labels_by_windows(labels, segs, we, ws, 1.0, 8,
+                                       sub_cos_thr=0.05)
+        assert out.max() + 1 == 1  # threshold below the pair's sub-cos
 
     def test_too_few_windows_declines(self):
         from speech_diarization_tpu.cluster import refine_labels_by_windows

@@ -18,6 +18,7 @@ def _fake_encoder(wavs):
     return jnp.asarray(feats.astype(np.float32))
 
 
+@pytest.mark.slow
 class TestAltEmbedders:
     def test_eres2netv2_shapes(self):
         from speech_diarization_tpu.models.eres2netv2 import ERes2NetV2, ERes2NetV2Model
@@ -55,6 +56,7 @@ class TestAltEmbedders:
             make_encoder("nope")
 
 
+@pytest.mark.slow
 class TestDemix:
     def test_separator_shapes(self):
         from speech_diarization_tpu.models.demix import DialogDemixer
@@ -78,6 +80,28 @@ class TestDemix:
         stems = demixer.separate(wav, 44100)
         assert stems.shape == (3, 2, wav.shape[-1])
         assert np.isfinite(stems).all()
+
+    def test_shift_averaging_matches_single_on_shift_invariant_input(self):
+        """shifts>1 must keep shapes and stay finite; on a constant-zero
+        input every shifted copy separates identically, so the average
+        equals the unshifted output exactly."""
+        from speech_diarization_tpu.models.demix import DialogDemixer
+        from speech_diarization_tpu.pipelines.demix import EnsembleDemixer
+
+        model = DialogDemixer(channels=8, depth=3, bottleneck_blocks=1)
+        demixer = EnsembleDemixer(model=model, n_models=1, chunk_s=1.0,
+                                  shifts=3, max_shift_s=0.1)
+        wav = (np.random.default_rng(1).standard_normal((2, 2 * 44100)) * 0.1
+               ).astype(np.float32)
+        stems = demixer.separate(wav, 44100)
+        assert stems.shape == (3, 2, wav.shape[-1])
+        assert np.isfinite(stems).all()
+
+        zero = np.zeros((2, 44100), np.float32)
+        single = EnsembleDemixer(model=model,
+                                 param_sets=demixer.param_sets, chunk_s=1.0)
+        np.testing.assert_allclose(demixer.separate(zero, 44100),
+                                   single.separate(zero, 44100), atol=1e-5)
 
     def test_separate_dialog_tree(self, tmp_path):
         from speech_diarization_tpu.io.audio import write_wav
@@ -180,6 +204,7 @@ class TestDiagnosticPipeline:
         assert isinstance(report.tuning_hint(), str)
 
 
+@pytest.mark.slow
 class TestEnhanceBatch:
     def test_batch_with_resume(self, tmp_path):
         from speech_diarization_tpu.io.audio import write_wav

@@ -1,5 +1,6 @@
 """Corpus runner tests on the 8-virtual-device CPU mesh."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,7 @@ def _wave(seed=0, sr=16000):
     return np.concatenate(parts)
 
 
+@pytest.mark.slow
 def test_multi_device_corpus(tmp_path):
     cfg = DiarizationConfig(
         audio=AudioConfig(target_lufs=None, preemphasis=None),

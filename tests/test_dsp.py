@@ -162,6 +162,7 @@ class TestResample:
 
 
 # --------------------------------------------------------------- loudness ----
+@pytest.mark.slow
 class TestLoudness:
     def test_k_weight_matches_scipy_lfilter(self):
         y = _sig(SR * 2)
@@ -217,6 +218,7 @@ class TestPreprocess:
         assert out.shape == y.shape
 
 
+@pytest.mark.slow
 class TestIirChunked:
     """sos_scan_chunked must equal the monolithic scan and scipy exactly:
     the chunk boundary state carry is exact, not an approximation."""

@@ -50,6 +50,7 @@ class TestWindowedEnhance:
         np.testing.assert_allclose(out[1:-1], 0.5 * y[1:-1], atol=1e-4)
 
 
+@pytest.mark.slow
 class TestGtcrnEnhancer:
     @pytest.fixture(scope="class")
     def enhancer(self):
@@ -84,6 +85,7 @@ class TestGtcrnEnhancer:
         assert out.shape == y.shape
 
 
+@pytest.mark.slow
 class TestZipEnhancerModel:
     def test_forward_shapes(self):
         from speech_diarization_tpu.models.zipenhancer import ZipEnhancerModel

@@ -1,8 +1,11 @@
+import pytest
 """Driver entry points stay healthy: single-chip compile + multichip dryrun."""
 import sys
 from pathlib import Path
 
 import jax
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast core (make test-fast)
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 

@@ -10,6 +10,7 @@ from speech_diarization_tpu.models.ecapa import EcapaModel, EcapaTdnn
 
 
 class TestVad:
+    @pytest.mark.slow
     def test_shapes_and_range(self):
         model = VadModel()
         params = model.init(jax.random.PRNGKey(0))
@@ -56,6 +57,7 @@ class TestVad:
 class TestVadConv:
     """Scan-free TCN VAD (models/vad.VadConvNet) — the fast batch backend."""
 
+    @pytest.mark.slow
     def test_shapes_and_range(self):
         from speech_diarization_tpu.models.vad import VadConvNet
 
@@ -109,6 +111,7 @@ class TestEcapa:
         params = model.init(jax.random.PRNGKey(0))
         return model, params
 
+    @pytest.mark.slow
     def test_embedding_shape(self, small):
         model, params = small
         wavs = jnp.asarray(np.random.default_rng(0)

@@ -26,6 +26,7 @@ def _hysteresis_oracle(probs, on, off):
 
 class TestHysteresis:
     @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.slow
     def test_matches_sequential_oracle(self, seed):
         g = np.random.default_rng(seed)
         probs = g.uniform(0, 1, size=5000).astype(np.float32)

@@ -13,6 +13,8 @@ from speech_diarization_tpu.metrics import diarization_error_rate, jaccard_error
 from speech_diarization_tpu.pipelines.diarize import DiarizationPipeline
 from speech_diarization_tpu.types import SegmentArray
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast core (make test-fast)
+
 WEIGHTS = Path(__file__).resolve().parents[1] / "weights" / "vad_synthetic.npz"
 
 

@@ -19,6 +19,7 @@ from speech_diarization_tpu.train.synthetic import make_segmentation_example
 WEIGHTS = Path(__file__).resolve().parents[1] / "weights" / "segmentation_synthetic.npz"
 
 
+@pytest.mark.slow
 class TestSegNet:
     def test_shapes(self):
         net = SegNet(n_mels=24, channels=32, hidden=32, n_speakers=3)

@@ -15,6 +15,8 @@ from speech_diarization_tpu.parallel import make_mesh, make_sharded_encode_fn
 from speech_diarization_tpu.pipelines.diarize import DiarizationPipeline
 from speech_diarization_tpu.train.synthetic import make_tone_conversation
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast core (make test-fast)
+
 
 @pytest.fixture(scope="module")
 def small_ecapa():

@@ -28,6 +28,8 @@ from speech_diarization_tpu.segment.embed import (
     embed_windows_streaming,
 )
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast core (make test-fast)
+
 SR = 16000
 WEIGHTS = Path(__file__).resolve().parents[1] / "weights" / "ecapa_synthetic.npz"
 

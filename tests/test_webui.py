@@ -6,6 +6,8 @@ import pytest
 from speech_diarization_tpu.train.synthetic import make_tone_conversation
 from speech_diarization_tpu.webui import normalize_gradio_audio, run_diarize_ui
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast core (make test-fast)
+
 
 class TestNormalize:
     def test_int16_stereo(self):

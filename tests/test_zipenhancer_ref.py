@@ -19,6 +19,8 @@ from speech_diarization_tpu.models.port_zipenhancer import (
     load_zipenhancer_modelscope, zipenhancer_manifest,
 )
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast core (make test-fast)
+
 
 def tiny_model() -> zr.ZipEnhancerRef:
     return zr.ZipEnhancerRef(
