@@ -93,9 +93,19 @@ def build_pipeline(cpu_dtype: bool, enc_weights: str | None = None,
 
     import os
 
-    cfg = DiarizationConfig(cluster=ClusterConfig(
-        method="spectral", max_speakers=8,
-        refine_splits=os.environ.get("SDTPU_EVAL_REFINE", "1") == "1"))
+    from speech_diarization_tpu.config import EnhanceConfig
+
+    cfg = DiarizationConfig(
+        cluster=ClusterConfig(
+            method="spectral", max_speakers=8,
+            refine_splits=os.environ.get("SDTPU_EVAL_REFINE", "1") == "1"),
+        # SDTPU_EVAL_ENHANCE=gtcrn|zipenhancer switches on the denoise
+        # front-end (the reference's latent enhancement-before-diarization
+        # stage) — the honest fix for the noise-domain failures
+        enhance=EnhanceConfig(
+            enabled=bool(os.environ.get("SDTPU_EVAL_ENHANCE")),
+            backend=os.environ.get("SDTPU_EVAL_ENHANCE") or "gtcrn",
+            scope=os.environ.get("SDTPU_EVAL_ENHANCE_SCOPE", "full")))
     return DiarizationPipeline(cfg, encoder=(model, params),
                                vad_probs_fn=vad_fn), enc_w.name, (vad_w.name if vad_w else None)
 

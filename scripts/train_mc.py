@@ -33,7 +33,7 @@ sys.path.insert(0, str(ROOT))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("what", choices=["vad", "encoder", "encoder-windowed",
-                                     "encoder-proto"])
+                                     "encoder-proto", "segmentation"])
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--cache", type=int, default=768)
@@ -46,6 +46,12 @@ def main() -> None:
     ap.add_argument("--src", type=str, default=None,
                     help="warm-start checkpoint (default: the r1 weights)")
     ap.add_argument("--cpu", action="store_true")
+    # encoder-proto hardening knobs (defaults = the v2 run's settings)
+    ap.add_argument("--spk-batch", type=int, default=12)
+    ap.add_argument("--utt-per-spk", type=int, default=4)
+    ap.add_argument("--channel-p", type=float, default=0.5)
+    ap.add_argument("--competing-p", type=float, default=0.0)
+    ap.add_argument("--snr-floor", type=float, default=8.0)
     args = ap.parse_args()
 
     if args.cpu:
@@ -89,6 +95,29 @@ def main() -> None:
         )
         print(f"vad mc done in {time.time()-t0:.0f}s: "
               f"frame_acc {metrics['frame_accuracy']:.4f} -> {out}")
+        return
+
+    if args.what == "segmentation":
+        from speech_diarization_tpu.train.multicond import (
+            make_segmentation_example_mc,
+        )
+
+        init = None
+        src = Path(args.src) if args.src else wroot / "segmentation_synthetic.npz"
+        if not args.cold and src.exists():
+            init = recipes.load_segmentation_weights(src)
+        out = args.out or wroot / "segmentation_mc.npz"
+        params, metrics = recipes.train_segmentation_synthetic(
+            steps=args.steps or 1500,
+            batch=args.batch or 8,
+            lr=args.lr or 2e-3,
+            seed=args.seed,
+            out_path=out,
+            example_fn=partial(make_segmentation_example_mc, channels=channels),
+            init_params=init,
+        )
+        print(f"segmentation mc done in {time.time()-t0:.0f}s: "
+              f"best-perm acc {metrics['frame_accuracy']:.4f} -> {out}")
         return
 
     # encoder variants share the bank/batch source
@@ -149,6 +178,11 @@ def main() -> None:
             net=net,
             out_path=out,
             init_params=init,
+            spk_per_batch=args.spk_batch,
+            utt_per_spk=args.utt_per_spk,
+            channel_p=args.channel_p,
+            competing_p=args.competing_p,
+            channel_kwargs={"snr_db": (args.snr_floor, 30.0)},
         )
         print(f"proto encoder done in {time.time()-t0:.0f}s: "
               f"unseen_separation {metrics['unseen_separation']:.4f} -> {out}")

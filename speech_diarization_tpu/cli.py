@@ -54,6 +54,10 @@ def _add_common_config_args(p: argparse.ArgumentParser) -> None:
                         "available (shipped or --vad-weights) and falls back "
                         "to the deterministic energy VAD otherwise")
     p.add_argument("--vad-weights", type=str, default=None)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the default backend may be a "
+                        "shared accelerator; use this for smoke runs so they "
+                        "cannot contend with a training/bench process)")
     p.add_argument("--verbose", "-v", action="store_true")
 
 
@@ -276,6 +280,12 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_demix)
 
     args = parser.parse_args(argv)
+    if getattr(args, "cpu", False):
+        import jax
+
+        # must happen before any device touch; some accelerator plugins
+        # ignore the JAX_PLATFORMS env var, the config update is authoritative
+        jax.config.update("jax_platforms", "cpu")
     _setup_logging(getattr(args, "verbose", False))
     return args.fn(args)
 

@@ -162,6 +162,13 @@ class EnhanceConfig:
 
     enabled: bool = False
     backend: str = "gtcrn"            # gtcrn | zipenhancer
+    # what consumes the enhanced audio: 'full' = the whole pipeline (the
+    # reference's latent design, diarization_baseline.py:333-338); 'vad' =
+    # only the VAD sees denoised audio while embeddings run on the raw
+    # signal — denoising recovers missed speech under heavy noise (measured:
+    # white @10 dB SNR miss 58% -> 0%) but distorts speaker cues, so keeping
+    # embeddings raw preserves separability
+    scope: str = "full"
     # GTCRN long-audio chunking (gtcrn_wrap.py:101-107)
     chunk_s: float = 360.0
     overlap_s: float = 1.0

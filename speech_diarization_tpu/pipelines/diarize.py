@@ -212,6 +212,13 @@ class DiarizationPipeline:
         return yd, t, sr, scale
 
     def load(self, source) -> tuple[jnp.ndarray, int]:
+        y, _vad_wave, sr = self._load_waves(source)
+        return y, sr
+
+    def _load_waves(self, source) -> tuple[jnp.ndarray, jnp.ndarray, int]:
+        """-> (wave, vad_wave, sr).  ``vad_wave`` differs from ``wave`` only
+        under ``EnhanceConfig.scope == 'vad'``: the VAD then sees the
+        denoised signal while embeddings keep the raw one."""
         cfg = self.cfg.audio
         if isinstance(source, tuple) and len(source) == 4 and isinstance(
                 source[0], jax.Array):
@@ -223,16 +230,24 @@ class DiarizationPipeline:
             t_pad = max(bucket, -(-t // bucket) * bucket)
             q, scale = self._quantize_host(y, t_pad)
             yd = jnp.asarray(q)
+        yd_enh = None
         if self.enhance_fn is not None:
             if yd.dtype == jnp.int16:
                 yd = yd.astype(jnp.float32) * (scale / 32767.0)
-            yd = self.enhance_fn(yd)
+            yd_enh = self.enhance_fn(yd)
+            if self.cfg.enhance.scope != "vad":
+                yd = yd_enh
+                yd_enh = None
         if not hasattr(self, "_preprocess_jit"):
             self._preprocess_jit = jax.jit(
                 self._preprocess_device, static_argnames=("sr",)
             )
         yd = self._preprocess_jit(yd, jnp.float32(t), sr, jnp.float32(scale))
-        return yd[:t], sr
+        if yd_enh is None:
+            return yd[:t], yd[:t], sr
+        yd_enh = self._preprocess_jit(yd_enh, jnp.float32(t), sr,
+                                      jnp.float32(scale))
+        return yd[:t], yd_enh[:t], sr
 
     # ----------------------------------------------------------------- vad --
     def vad_probs(self, y: jnp.ndarray, sr: int, defer: bool = False):
@@ -246,7 +261,7 @@ class DiarizationPipeline:
         sr = cfg.audio.sample_rate
 
         with stage_timer(log, "load+preprocess"):
-            y, sr = self.load(source)
+            y, y_vad, sr = self._load_waves(source)
         total_s = y.shape[-1] / sr
 
         # one dense embedding grid serves SCD + segment embeddings + reassign
@@ -286,7 +301,7 @@ class DiarizationPipeline:
         # of starting after them — on the axon tunnel (degraded-transfer
         # state, see STATUS.md) that hides several hundred ms per file.
         with stage_timer(log, "dispatch"):
-            vad_finish = self.vad_probs(y, sr, defer=True)
+            vad_finish = self.vad_probs(y_vad, sr, defer=True)
             if streaming:
                 embed_finish = embed_windows_streaming(
                     self._grid_model, self._grid_params, y, sr,

@@ -37,6 +37,12 @@ log = get_logger("segmentation")
 @dataclass
 class SegmentationConfig:
     chunk_s: float = 5.0
+    # chunk stride; < chunk_s scores OVERLAPPING chunks and keeps only each
+    # chunk's center frames (pyannote's aggregation-with-warm-up-trim idea:
+    # the BiGRU has least context at chunk edges, so edge frames are the
+    # least reliable — with 50% overlap every frame is covered by exactly
+    # one chunk CENTER).  None = non-overlapping chunks (old behavior).
+    chunk_hop_s: float | None = 2.5
     hop_ms: float = 10.0
     onset: float = 0.5        # activity binarization threshold
     min_on_s: float = 0.25    # min active span (pyannote min_duration_on)
@@ -86,19 +92,33 @@ def segmentation_diarize(
     cfg = cfg or SegmentationConfig()
     y = np.asarray(y, np.float32)
     chunk = int(cfg.chunk_s * sr)
-    n_chunks = max(1, -(-len(y) // chunk))
-    yp = np.pad(y, (0, n_chunks * chunk - len(y)))
-    chunks = jnp.asarray(yp.reshape(n_chunks, chunk))
+    stride_s = cfg.chunk_hop_s if cfg.chunk_hop_s else cfg.chunk_s
+    stride = max(1, int(stride_s * sr))
+    n_chunks = max(1, -(-max(len(y) - chunk, 0) // stride) + 1)
+    yp = np.pad(y, (0, max(0, (n_chunks - 1) * stride + chunk - len(y))))
+    idx = (np.arange(n_chunks)[:, None] * stride + np.arange(chunk)[None, :])
+    chunks = jnp.asarray(yp[idx])  # [n_chunks, chunk]
 
     acts = np.asarray(seg_activities_fn(chunks))  # [n_chunks, F, K]
     hop_s = cfg.hop_ms / 1000.0
 
+    # per-chunk kept frame range: the center stride_s of each chunk (first
+    # chunk keeps its head, last keeps its tail) so overlapping chunks tile
+    # the timeline with their most-context-rich frames
+    trim_f = int(round((cfg.chunk_s - stride_s) / 2.0 / hop_s))
+    n_frames = acts.shape[1]
+
     starts, ends = [], []
     for c in range(n_chunks):
+        lo = 0 if c == 0 else trim_f
+        hi = n_frames if c == n_chunks - 1 else n_frames - trim_f
         for k in range(acts.shape[2]):
             for f0, f1 in _binarize_activity(acts[c, :, k], cfg):
-                s = c * cfg.chunk_s + f0 * hop_s
-                e = min(c * cfg.chunk_s + f1 * hop_s, len(y) / sr)
+                f0c, f1c = max(f0, lo), min(f1, hi)
+                if f1c <= f0c:
+                    continue
+                s = (c * stride + f0c * hop_s * sr) / sr
+                e = min((c * stride + f1c * hop_s * sr) / sr, len(y) / sr)
                 if e - s >= cfg.min_on_s:
                     starts.append(s)
                     ends.append(e)

@@ -182,6 +182,52 @@ def make_vad_example_mc(
     return wave.astype(np.float32), labels
 
 
+def make_segmentation_example_mc(
+    rng: np.random.Generator,
+    dur_s: float = 5.0,
+    sr: int = 16000,
+    max_speakers: int = 3,
+    hop_ms: float = 10.0,
+    channels: ChannelBank | None = None,
+    overlap_bias: float = 0.35,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Multi-condition PyanNet-style chunk: mixed-family voices whose turns
+    overlap with probability ``overlap_bias`` (turn starts drawn inside a
+    previous speaker's turn), whole chunk through an acoustic channel.
+    Same (wave [T], activities [n_frames, K]) contract as
+    ``synthetic.make_segmentation_example``."""
+    bank = make_mc_speaker_bank(rng, max_speakers)
+    n = int(dur_s * sr)
+    hop = int(sr * hop_ms / 1000.0)
+    n_frames = n // hop + 1
+    wave = (1e-4 * rng.standard_normal(n)).astype(np.float64)
+    labels = np.zeros((n_frames, max_speakers), np.float32)
+    n_spk = int(rng.integers(1, max_speakers + 1))
+    placed: list[tuple[float, float]] = []
+    for k in range(n_spk):
+        for _ in range(int(rng.integers(1, 4))):
+            dur = float(rng.uniform(0.6, 2.5))
+            if placed and rng.uniform() < overlap_bias:
+                ps, pe = placed[int(rng.integers(0, len(placed)))]
+                start = float(rng.uniform(ps, max(pe - 0.2, ps + 0.01)))
+            else:
+                start = float(rng.uniform(0.0, max(dur_s - dur, 0.01)))
+            i0 = int(start * sr)
+            seg = render_speaker(rng, bank[k], dur, sr)
+            i1 = min(i0 + len(seg), n)
+            if i1 <= i0:
+                continue
+            wave[i0:i1] += seg[: i1 - i0]
+            labels[i0 // hop : min(i1 // hop, n_frames), k] = 1.0
+            placed.append((start, min(start + dur, dur_s)))
+    peak = max(np.abs(wave).max(), 1e-6)
+    wave = wave / peak * min(0.6, peak)
+    if channels is not None and rng.uniform() < 0.6:
+        wave = channels.apply(rng, wave.astype(np.float32), snr_db=(5.0, 30.0))
+    wave = np.asarray(wave, np.float64) + 0.005 * rng.standard_normal(n)
+    return wave.astype(np.float32), labels
+
+
 def make_speaker_batch_mc(
     rng: np.random.Generator,
     bank,

@@ -76,6 +76,9 @@ def train_speaker_encoder_proto(
     channel_p: float = 0.5,
     family: str = "mixed",
     log_every: int = 50,
+    channel_kwargs: dict | None = None,
+    competing_p: float = 0.0,
+    competing_snr_db: tuple[float, float] = (5.0, 20.0),
 ) -> tuple[dict, dict]:
     """Fine-tune (or train) the streaming-regime ECAPA with the angular
     prototypical objective over a periodically regenerated speaker pool.
@@ -133,8 +136,21 @@ def train_speaker_encoder_proto(
                             replace=pool.shape[1] < utt_per_spk)
             for j, u in enumerate(us):
                 w = pool[s, u]
+                if competing_p and rng.uniform() < competing_p:
+                    # competing-speaker augmentation: a DIFFERENT pool
+                    # speaker mixed under the foreground — the encoder must
+                    # embed the dominant voice, the babble-eval failure mode
+                    # (63% confusion at 15 dB when trained without this)
+                    o = int(rng.integers(0, pool.shape[0] - 1))
+                    o = o + (o >= s)
+                    bg = pool[o, int(rng.integers(0, pool.shape[1]))]
+                    snr = float(rng.uniform(*competing_snr_db))
+                    sp = float(np.mean(w.astype(np.float64) ** 2) + 1e-12)
+                    bp = float(np.mean(bg.astype(np.float64) ** 2) + 1e-12)
+                    g = np.sqrt(sp / (bp * 10.0 ** (snr / 10.0)))
+                    w = w + (g * bg).astype(np.float32)
                 if rng.uniform() < channel_p:
-                    w = channels.apply(rng, w)[:n]
+                    w = channels.apply(rng, w, **(channel_kwargs or {}))[:n]
                     w = np.pad(w, (0, n - len(w)))
                 if rng.uniform() < 0.5:  # pre-emphasis jitter
                     w = np.concatenate([w[:1], w[1:] - 0.97 * w[:-1]])

@@ -622,6 +622,8 @@ def train_segmentation_synthetic(
     seed: int = 0,
     out_path: str | Path | None = None,
     eval_every: int = 50,
+    example_fn=None,
+    init_params: dict | None = None,
 ) -> tuple[dict, dict]:
     """Train the PyanNet-class chunk-local segmentation model (VERDICT r1
     missing #3) on synthetic overlapping-speech chunks with PIT-BCE; returns
@@ -635,14 +637,18 @@ def train_segmentation_synthetic(
 
     model = SegmentationModel()
     model.net.n_speakers = max_speakers
-    params = model.init(jax.random.PRNGKey(seed))
-    opt = _optax.adam(lr)
+    params = init_params if init_params is not None else model.init(
+        jax.random.PRNGKey(seed))
+    # cosine decay stabilizes the tail (PIT-BCE plateaus noisily at a
+    # constant LR); warm restarts not needed at this scale
+    opt = _optax.adam(_optax.cosine_decay_schedule(lr, max(steps, 1), 0.05))
     opt_state = opt.init(params)
     rng = np.random.default_rng(seed)
+    ex_fn = example_fn or (
+        lambda g: make_segmentation_example(g, dur_s, max_speakers=max_speakers))
 
     def batch_data(g):
-        ws, ls = zip(*(make_segmentation_example(g, dur_s, max_speakers=max_speakers)
-                       for _ in range(batch)))
+        ws, ls = zip(*(ex_fn(g) for _ in range(batch)))
         return np.stack(ws), np.stack(ls)
 
     def loss_fn(p, wavs, labels):

@@ -181,3 +181,13 @@ class TestEnhanceChain:
         # (plain measured 88-100% DER; enhanced 11-36% across noise draws)
         assert der_enh < der_plain - 0.30, (der_plain, der_enh)
         assert der_enh < 0.45, der_enh
+
+        # scope='vad': denoised audio only gates the VAD, embeddings stay on
+        # the raw signal — must also rescue the drowned plain chain
+        vad_scoped = DiarizationPipeline(
+            DiarizationConfig(**base,
+                              enhance=EnhanceConfig(enabled=True, scope="vad")),
+            vad_probs_fn=vad_fn)
+        der_scoped = diarization_error_rate(
+            truth, vad_scoped((noisy, 16000)).segments, collar_s=0.25).der
+        assert der_scoped < der_plain - 0.30, (der_plain, der_scoped)
