@@ -1,0 +1,89 @@
+"""Held-out-domain DER regression gates (VERDICT r1 weak-1 'Done' criterion).
+
+Pins the production pipeline's accuracy on speech the models never trained
+on (train/heldout.py LPC source-filter voices) next to the in-domain
+generator, with the SHIPPED weights named explicitly so a default-weights
+change cannot silently move these gates.  Bounds are ~2x the measured means
+(eval_heldout 2026-08-17: heldout-dry 7.8%, indomain r1 1.2%) — they catch
+regressions of the honest accuracy signal, not noise.
+"""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+from speech_diarization_tpu.metrics import diarization_error_rate
+from speech_diarization_tpu.types import SegmentArray
+
+pytestmark = pytest.mark.slow  # ~minutes on CPU; part of the full suite only
+
+WROOT = Path(__file__).resolve().parents[1] / "weights"
+PROTO = next((WROOT / n for n in
+              ("ecapa_proto3_stream.npz", "ecapa_proto2_stream.npz")
+              if (WROOT / n).exists()), None)
+R1 = WROOT / "ecapa_synthetic_full_stream.npz"
+MC_VAD = WROOT / "vad_conv_mc.npz"
+
+
+def _pipeline(enc_path, vad_path):
+    from functools import partial
+
+    from speech_diarization_tpu.config import ClusterConfig, DiarizationConfig
+    from speech_diarization_tpu.pipelines.diarize import DiarizationPipeline
+    from speech_diarization_tpu.train.recipes import load_speaker_encoder, load_vad
+
+    model, params = load_speaker_encoder(enc_path)
+    vad, vp = load_vad(vad_path)
+    cfg = DiarizationConfig(cluster=ClusterConfig(method="spectral",
+                                                  max_speakers=8))
+    return DiarizationPipeline(cfg, encoder=(model, params),
+                               vad_probs_fn=jax.jit(partial(vad.probs, vp)))
+
+
+def _score(pipe, wave, truth):
+    s, e, k = truth
+    res = pipe((wave, 16000))
+    return diarization_error_rate(
+        SegmentArray(s, e, k), res.segments, collar_s=0.25).der
+
+
+@pytest.mark.skipif(PROTO is None or not MC_VAD.exists(),
+                    reason="robust weights not shipped")
+def test_heldout_dry_der_under_15pct():
+    """The robust encoder + MC VAD on UNSEEN LPC voices (the domain the r1
+    stack scored 69% on) must stay under 15% DER (measured 7.8%)."""
+    from speech_diarization_tpu.train.heldout import make_conversation_heldout
+
+    pipe = _pipeline(PROTO, MC_VAD)
+    ders = []
+    for i in range(2):
+        rng = np.random.default_rng(1000 + i)
+        wave, truth = make_conversation_heldout(rng, 60.0, n_speakers=3,
+                                                sr=16000)
+        ders.append(_score(pipe, wave, truth))
+    assert float(np.mean(ders)) < 0.15, ders
+
+
+@pytest.mark.skipif(not R1.exists() or not MC_VAD.exists(),
+                    reason="r1 weights not shipped")
+def test_indomain_der_distribution():
+    """The in-domain champion (r1 streaming encoder) + MC VAD on the
+    in-domain generator.  60 s 3-speaker files have a heavy tail: randomly
+    drawn speaker profiles occasionally nearly collide in (f0, formant)
+    space and the pair merges (measured across seeds 2000-2005:
+    [26.2, 1.3, 1.0, 0.0, 4.8, 16.4]% — mean 8.3%, median 1.1%; at 600 s
+    the window-bisection refine rescues these, 0.21% corpus mean).  Gate
+    the MEDIAN tightly (typical file must stay excellent) and the MEAN
+    loosely (the tail must not grow)."""
+    from speech_diarization_tpu.train.synthetic import make_conversation
+
+    pipe = _pipeline(R1, MC_VAD)
+    ders = []
+    for i in range(6):
+        rng = np.random.default_rng(2000 + i)
+        wave, truth = make_conversation(rng, 60.0, n_speakers=3, sr=16000)
+        ders.append(_score(pipe, wave, truth))
+    assert float(np.median(ders)) < 0.03, ders
+    assert float(np.mean(ders)) < 0.15, ders
