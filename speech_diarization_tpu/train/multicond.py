@@ -155,6 +155,12 @@ def make_vad_example_mc(
             prof = {"f0": float(rng.uniform(88.0, 285.0)),
                     "shift": float(rng.uniform(0.85, 1.22))}
             seg = render_speaker(rng, prof, span / sr, sr)
+        elif rng.uniform() < 0.3:
+            # quiet/silent inter-turn gap — real conversations pause into
+            # near-silence, and edited recordings into exact zeros; the
+            # synth_negative-only recipe never showed the net low-energy
+            # non-speech (see the ambient-floor note below)
+            seg = np.zeros(span, np.float32)
         else:
             seg = synth_negative(rng, span / sr, sr)
         span = min(span, len(seg))
@@ -173,7 +179,14 @@ def make_vad_example_mc(
         # Babble backgrounds (bank kind 3) teach foreground-vs-babble: the
         # old VAD scored 0.89 on babble-only regions.
         wave = channels.apply(rng, wave, snr_db=(3.0, 30.0))
-    wave = wave + 0.003 * rng.standard_normal(n).astype(np.float32)
+    # Randomized ambient floor, INCLUDING digital silence: a fixed -50 dB
+    # floor (the old recipe) left true silence out-of-distribution — the mc
+    # VAD scored p~=0.8 on -80 dB inter-turn gaps (measured, eval_vad.py),
+    # hidden from DER only by the 0.25 s scoring collar.
+    floor = rng.uniform() >= 0.2  # 20%: exact digital silence in the gaps
+    if floor:
+        amp = 10.0 ** (rng.uniform(-90.0, -45.0) / 20.0)
+        wave = wave + amp * rng.standard_normal(n).astype(np.float32)
     if preprocess_aug:
         if rng.uniform() < 0.5:  # pre-emphasis (dsp/preprocess.py default)
             wave = np.concatenate([wave[:1], wave[1:] - 0.97 * wave[:-1]])

@@ -19,7 +19,17 @@ from pathlib import Path
 
 
 def machine_fingerprint() -> str:
-    """Short stable hash of this host's CPU feature set."""
+    """Short hash of this host's CPU feature set AND kernel boot id.
+
+    The cpuinfo flag set alone is NOT sufficient: this build runs in a VM
+    that lands on different physical hosts across restarts, the virtualized
+    ``/proc/cpuinfo`` flags can hash identically while XLA's runtime cpuid
+    probe bakes different (pseudo-)features — ``+prefer-no-gather`` et al. —
+    into AOT results, which then SIGILL when loaded after a migration
+    (observed 2026-08-17: ``cpu_aot_loader`` feature-mismatch errors on
+    entries written under the same flags hash).  The boot id changes on
+    every VM (re)boot, so entries never outlive the machine incarnation
+    that compiled them; the only cost is one recompile per boot."""
     try:
         text = Path("/proc/cpuinfo").read_text()
         flags = next(
@@ -29,7 +39,11 @@ def machine_fingerprint() -> str:
         import platform
 
         flags = platform.machine() + platform.processor()
-    return hashlib.sha256(flags.encode()).hexdigest()[:12]
+    try:
+        boot = Path("/proc/sys/kernel/random/boot_id").read_text().strip()
+    except OSError:
+        boot = ""
+    return hashlib.sha256(f"{flags}|{boot}".encode()).hexdigest()[:12]
 
 
 def setup_compilation_cache(root: str | Path | None = None) -> Path:
@@ -60,6 +74,13 @@ def setup_compilation_cache(root: str | Path | None = None) -> Path:
     ).hexdigest()[:12]
     cache = Path(root) / ".jax_cache" / f"{platform}-{tag}"
     cache.mkdir(parents=True, exist_ok=True)
+    # prune sub-caches of the SAME platform from previous machine
+    # incarnations — unreadable here (feature mismatch) and ~1 GB/boot
+    import shutil
+
+    for sib in cache.parent.glob(f"{platform}-*"):
+        if sib.name != cache.name and sib.is_dir():
+            shutil.rmtree(sib, ignore_errors=True)
     try:
         jax.config.update("jax_compilation_cache_dir", str(cache))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
