@@ -33,7 +33,8 @@ sys.path.insert(0, str(ROOT))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("what", choices=["vad", "encoder", "encoder-windowed",
-                                     "encoder-proto", "segmentation"])
+                                     "encoder-proto", "segmentation",
+                                     "gtcrn", "zipenhancer"])
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--cache", type=int, default=768)
@@ -118,6 +119,43 @@ def main() -> None:
         )
         print(f"segmentation mc done in {time.time()-t0:.0f}s: "
               f"best-perm acc {metrics['frame_accuracy']:.4f} -> {out}")
+        return
+
+    if args.what in ("gtcrn", "zipenhancer"):
+        from speech_diarization_tpu.train.multicond import (
+            make_noisy_clean_batch_mc,
+        )
+
+        pair_fn = partial(make_noisy_clean_batch_mc, channels=channels)
+        if args.what == "gtcrn":
+            init = None
+            src = Path(args.src) if args.src else wroot / "gtcrn_synthetic.npz"
+            if not args.cold and src.exists():
+                import numpy as _np
+
+                init = dict(_np.load(src))
+            out = args.out or wroot / "gtcrn_mc.npz"
+            params, metrics = recipes.train_gtcrn_synthetic(
+                steps=args.steps or 800, batch=args.batch or 8,
+                lr=args.lr or 5e-4, seed=args.seed, out_path=out,
+                batch_fn=pair_fn, init_params=init)
+        else:
+            from speech_diarization_tpu.models.port import load_params_npz
+
+            init = None
+            src = (Path(args.src) if args.src
+                   else wroot / "zipenhancer_synthetic.npz")
+            if not args.cold and src.exists():
+                init = load_params_npz(src)
+            out = args.out or wroot / "zipenhancer_mc.npz"
+            params, metrics = recipes.train_zipenhancer_synthetic(
+                steps=args.steps or 400, batch=args.batch or 4,
+                lr=args.lr or 3e-4, seed=args.seed, out_path=out,
+                batch_fn=pair_fn, init_params=init)
+        print(f"{args.what} mc done in {time.time()-t0:.0f}s: "
+              f"SI-SNR {metrics['si_snr_noisy_db']:.2f} -> "
+              f"{metrics['si_snr_enhanced_db']:.2f} dB "
+              f"(+{metrics['si_snr_gain_db']:.2f}) -> {out}")
         return
 
     # encoder variants share the bank/batch source

@@ -179,6 +179,16 @@ def make_vad_example_mc(
         # Babble backgrounds (bank kind 3) teach foreground-vs-babble: the
         # old VAD scored 0.89 on babble-only regions.
         wave = channels.apply(rng, wave, snr_db=(3.0, 30.0))
+    if rng.uniform() < 0.15:
+        # dedicated hard-white pass: broadband noise at 2-12 dB SNR is the
+        # measured marginal case (heldout-white10 probs straddle the 0.6
+        # on-threshold) and the generic channel draw only lands there ~6%
+        # of the time — too rare for the net to pin down
+        pw = float(np.mean(wave.astype(np.float64) ** 2) + 1e-12)
+        wn = rng.standard_normal(n)
+        g = np.sqrt(pw / np.mean(wn**2)
+                    / 10.0 ** (rng.uniform(2.0, 12.0) / 10.0))
+        wave = (wave + g * wn).astype(np.float32)
     # Randomized ambient floor, INCLUDING digital silence: a fixed -50 dB
     # floor (the old recipe) left true silence out-of-distribution — the mc
     # VAD scored p~=0.8 on -80 dB inter-turn gaps (measured, eval_vad.py),
@@ -239,6 +249,56 @@ def make_segmentation_example_mc(
         wave = channels.apply(rng, wave.astype(np.float32), snr_db=(5.0, 30.0))
     wave = np.asarray(wave, np.float64) + 0.005 * rng.standard_normal(n)
     return wave.astype(np.float32), labels
+
+
+def make_noisy_clean_batch_mc(
+    rng: np.random.Generator,
+    batch: int,
+    dur_s: float = 2.0,
+    sr: int = 16000,
+    snr_db: tuple[float, float] = (-5.0, 15.0),
+    channels: ChannelBank | None = None,
+    babble_p: float = 0.4,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Multi-condition enhancement pairs: clean speech from EITHER synthesis
+    family, noise drawn from shaped negatives OR babble beds (competing
+    speech).  Same (noisy, clean) contract as
+    ``recipes.make_noisy_clean_batch`` — which only ever mixed
+    single-family speech with ``synth_negative`` noise, so the shipped
+    GTCRN/ZipEnhancer never learned to suppress speech-like interference
+    (measured: GTCRN front-end leaves babble-domain DER at ~60%)."""
+    from .synthetic import synth_negative
+
+    noisy, clean = [], []
+    for _ in range(batch):
+        prof = {"f0": float(rng.uniform(88.0, 285.0)),
+                "shift": float(rng.uniform(0.85, 1.22)),
+                "formants": rng.uniform([300.0, 900.0, 2200.0],
+                                        [900.0, 2300.0, 3500.0])}
+        c = render_speaker(rng, prof, dur_s, sr)
+        n_samp = int(dur_s * sr)
+        c = np.pad(c[:n_samp], (0, max(0, n_samp - len(c))))
+        if channels is not None and rng.uniform() < babble_p:
+            bed = channels.babbles[rng.integers(0, len(channels.babbles))]
+            off = (rng.integers(0, max(1, len(bed) - n_samp))
+                   if len(bed) > n_samp else 0)
+            n = np.resize(bed[off:], n_samp).astype(np.float32)
+        else:
+            for _ in range(8):
+                n = synth_negative(rng, dur_s, sr)
+                if float(np.mean(n**2)) > 1e-9:
+                    break
+            n = (n[:n_samp] if len(n) >= n_samp
+                 else np.pad(n, (0, n_samp - len(n))))
+        snr = rng.uniform(*snr_db)
+        pc = np.mean(c**2) + 1e-12
+        pn = np.mean(n**2) + 1e-12
+        n = n * np.sqrt(pc / pn / (10.0 ** (snr / 10.0)))
+        x = c + n
+        peak = max(np.abs(x).max(), 1.0)
+        noisy.append((x / peak).astype(np.float32))
+        clean.append((c / peak).astype(np.float32))
+    return np.stack(noisy), np.stack(clean)
 
 
 def make_speaker_batch_mc(

@@ -417,19 +417,27 @@ def train_gtcrn_synthetic(
     eval_every: int = 50,
     n_fft: int = 512,
     hop: int = 256,
+    batch_fn=None,
+    init_params: dict | None = None,
 ) -> tuple[dict, dict]:
     """Train GTCRN for speech enhancement on synthetic noisy/clean pairs with
     the SI-SNR objective (VERDICT r1 #4: enhancement must demonstrably
     improve SI-SNR, not run random weights).  Returns (params, metrics with
-    heldout noisy/enhanced SI-SNR)."""
+    heldout noisy/enhanced SI-SNR).
+
+    ``batch_fn(rng, batch, dur_s) -> (noisy, clean)`` overrides the data
+    source (e.g. ``multicond.make_noisy_clean_batch_mc`` for babble +
+    both synthesis families); ``init_params`` warm-starts."""
     import optax as _optax
 
     from ..dsp.stft import istft_ri, stft_ri
     from ..models.gtcrn import GTCRN, gtcrn_init_params
     from ..train.objectives import si_snr_loss
 
+    batch_fn = batch_fn or make_noisy_clean_batch
     net = GTCRN()
-    params = gtcrn_init_params(jax.random.PRNGKey(seed))
+    params = (init_params if init_params is not None
+              else gtcrn_init_params(jax.random.PRNGKey(seed)))
     opt = _optax.adamw(lr)
     opt_state = opt.init(params)
     rng = np.random.default_rng(seed)
@@ -453,7 +461,7 @@ def train_gtcrn_synthetic(
 
     metrics = {"loss": []}
     for i in range(steps):
-        noisy, clean = make_noisy_clean_batch(rng, batch, dur_s)
+        noisy, clean = batch_fn(rng, batch, dur_s)
         params, opt_state, loss = step(params, opt_state,
                                        jnp.asarray(noisy), jnp.asarray(clean))
         if (i + 1) % eval_every == 0 or i == 0:
@@ -462,7 +470,7 @@ def train_gtcrn_synthetic(
 
     # held-out SI-SNR improvement
     heldout = np.random.default_rng(seed + 1)
-    noisy, clean = make_noisy_clean_batch(heldout, 16, dur_s)
+    noisy, clean = batch_fn(heldout, 16, dur_s)
     enh = np.asarray(enhance(params, jnp.asarray(noisy)))
     metrics["si_snr_noisy_db"] = si_snr_db(noisy, clean)
     metrics["si_snr_enhanced_db"] = si_snr_db(enh, clean)
@@ -486,6 +494,8 @@ def train_zipenhancer_synthetic(
     out_path: str | Path | None = None,
     eval_every: int = 50,
     net=None,
+    batch_fn=None,
+    init_params: dict | None = None,
 ) -> tuple[dict, dict]:
     """Train the ZipEnhancer-class dual-path model on synthetic noisy/clean
     pairs with the SI-SNR objective; returns (params, metrics with heldout
@@ -495,8 +505,10 @@ def train_zipenhancer_synthetic(
     from ..models.zipenhancer import ZipEnhancerModel
     from ..train.objectives import si_snr_loss
 
+    batch_fn = batch_fn or make_noisy_clean_batch
     model = net or ZipEnhancerModel()
-    params = model.init(jax.random.PRNGKey(seed))
+    params = (init_params if init_params is not None
+              else model.init(jax.random.PRNGKey(seed)))
     opt = _optax.adamw(lr)
     opt_state = opt.init(params)
     rng = np.random.default_rng(seed)
@@ -512,7 +524,7 @@ def train_zipenhancer_synthetic(
 
     metrics = {"loss": []}
     for i in range(steps):
-        noisy, clean = make_noisy_clean_batch(rng, batch, dur_s)
+        noisy, clean = batch_fn(rng, batch, dur_s)
         params, opt_state, loss = step(params, opt_state,
                                        jnp.asarray(noisy), jnp.asarray(clean))
         if (i + 1) % eval_every == 0 or i == 0:
@@ -520,7 +532,7 @@ def train_zipenhancer_synthetic(
             log.info("zipenhancer step %d si-snr loss %.3f", i + 1, float(loss))
 
     heldout = np.random.default_rng(seed + 1)
-    noisy, clean = make_noisy_clean_batch(heldout, 8, dur_s)
+    noisy, clean = batch_fn(heldout, 8, dur_s)
     enh = np.asarray(jax.jit(model.apply)(params, jnp.asarray(noisy)))
     metrics["si_snr_noisy_db"] = si_snr_db(noisy, clean)
     metrics["si_snr_enhanced_db"] = si_snr_db(enh, clean)
