@@ -148,7 +148,9 @@ def main() -> None:
     if vad_mode in ("neural", "gru"):
         from speech_diarization_tpu.train.recipes import load_vad
 
-        conv_w = wdir / "vad_conv_synthetic.npz"
+        conv_w = next((p for p in (wdir / "vad_conv_mc.npz",
+                                   wdir / "vad_conv_synthetic.npz")
+                       if p.exists()), wdir / "vad_conv_synthetic.npz")
         gru_w = wdir / "vad_synthetic.npz"
         pick = conv_w if (vad_mode == "neural" and conv_w.exists()) else gru_w
         if pick.exists():

@@ -59,7 +59,8 @@ def main() -> None:
     model, params = load_speaker_encoder(
         Path(args.weights) if args.weights else default_w, dtype=dtype)
     print(f"encoder: {args.weights or default_w}", flush=True)
-    vad_w = next(wdir / n for n in ("vad_conv_synthetic.npz", "vad_synthetic.npz")
+    vad_w = next(wdir / n for n in ("vad_conv_mc.npz", "vad_conv_synthetic.npz",
+                                    "vad_synthetic.npz")
                  if (wdir / n).exists())
     vad, vad_params = load_vad(vad_w)
     vad_fn = jax.jit(partial(vad.probs, vad_params))

@@ -83,7 +83,8 @@ def build_pipeline(cpu_dtype: bool, enc_weights: str | None = None,
     model, params = load_speaker_encoder(enc_w, dtype=dtype)
 
     vad_w = Path(vad_weights) if vad_weights else next(
-        (wroot / n for n in ("vad_conv_synthetic.npz",
+        (wroot / n for n in ("vad_conv_mc.npz",
+                             "vad_conv_synthetic.npz",
                              "vad_synthetic.npz")
          if (wroot / n).exists()), None)
     vad_fn = None

@@ -40,7 +40,10 @@ def score_weights(path: Path, domains, n_files: int, dur_s: float,
 
     from speech_diarization_tpu.config import VadConfig
     from speech_diarization_tpu.pipelines.chunking import chunked_framewise
-    from speech_diarization_tpu.segment.vad_post import vad_mask_from_probs
+    from speech_diarization_tpu.segment.vad_post import (
+        apply_energy_veto,
+        vad_mask_from_probs,
+    )
     from speech_diarization_tpu.train.recipes import load_vad
 
     vad, params = load_vad(path)
@@ -55,7 +58,13 @@ def score_weights(path: Path, domains, n_files: int, dur_s: float,
             wave, (s, e, k) = make_file(domain, i, dur_s, n_speakers, sr)
             probs = np.asarray(
                 chunked_framewise(probs_fn, wave, sr, frame_hop=hop))
-            pred = np.asarray(vad_mask_from_probs(probs, cfg))
+            # production chain includes the energy-floor veto (host numpy
+            # mirror of pipelines.diarize's on-device frame energy)
+            nf = len(wave) // hop
+            en = 10.0 * np.log10(
+                np.mean(wave[: nf * hop].reshape(nf, hop) ** 2, -1) + 1e-12)
+            gated = apply_energy_veto(probs, en, cfg)
+            pred = np.asarray(vad_mask_from_probs(gated, cfg))
             truth = frame_truth(s, e, len(pred), hop_s)
             # ignore a collar around truth boundaries (reverb smears
             # offsets; DER uses a 0.25 s collar for the same reason)

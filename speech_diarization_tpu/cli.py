@@ -113,9 +113,11 @@ def build_pipeline_kwargs(args: argparse.Namespace) -> dict:
         weights = args.vad_weights
         if weights is None:
             wdir = Path(__file__).resolve().parents[1] / "weights"
-            # prefer the scan-free conv TCN (fast batch path); the GRU net
-            # remains the Silero-parity/streaming backend
-            shipped = next((wdir / n for n in ("vad_conv_synthetic.npz",
+            # prefer the multi-condition conv TCN (robust to noise/reverb/
+            # out-of-family speech, eval_vad.py), then the in-domain conv
+            # net; the GRU net remains the Silero-parity/streaming backend
+            shipped = next((wdir / n for n in ("vad_conv_mc.npz",
+                                               "vad_conv_synthetic.npz",
                                                "vad_synthetic.npz")
                             if (wdir / n).exists()), None)
             weights = str(shipped) if shipped else None

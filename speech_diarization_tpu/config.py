@@ -44,6 +44,18 @@ class VadConfig:
     min_silence_ms: float = 100.0
     speech_pad_ms: float = 40.0
     batch_frames: int = 8192  # frames per jitted VAD call (dense grid chunk)
+    # Energy-floor veto: frames this many dB (power) below the file's speech
+    # level (95th-percentile frame energy over net-confident frames) cannot
+    # be speech, whatever the net says.  The conv-TCN's receptive field
+    # leaks probability ~0.3-0.5 into short digital-silence gaps adjacent to
+    # OUT-OF-FAMILY speech (measured: mid-gap frames at -80 dBFS score
+    # p=0.27 mean / 18% above off-threshold on held-out LPC voices, while
+    # in-domain FA is 0.00) — an energy veto is signal-level ground truth
+    # the net cannot override.  None disables.
+    energy_floor_db: float | None = -45.0
+    # only veto runs at least this long, so intra-word stop closures
+    # (30-100 ms of near-silence inside genuine speech) are never chipped
+    energy_veto_min_ms: float = 150.0
 
 
 @dataclass(frozen=True)

@@ -39,6 +39,7 @@ from ..segment import (
     embed_segments_bucketed,
     embed_windows,
     embed_windows_streaming,
+    frame_energy_db_chunk,
     frame_reassign,
     merge_adjacent,
     scd_split,
@@ -255,6 +256,17 @@ class DiarizationPipeline:
         return chunked_framewise(self.vad_probs_fn, y, sr, frame_hop=hop,
                                  defer=defer)
 
+    def vad_frame_energy(self, y: jnp.ndarray, sr: int, defer: bool = False):
+        """Per-frame signal energy on the VAD grid (for the energy-floor
+        veto, :func:`~..segment.vad_post.apply_energy_veto`) — same bucketed
+        chunk dispatch as the probs."""
+        hop = int(round(self.cfg.vad.hop_ms / 1000.0 * sr))
+        if not hasattr(self, "_energy_fn"):
+            self._energy_fn = jax.jit(
+                partial(frame_energy_db_chunk, hop=hop, n_extra=1))
+        return chunked_framewise(self._energy_fn, y, sr, frame_hop=hop,
+                                 defer=defer)
+
     # ---------------------------------------------------------------- main --
     def __call__(self, source, collect_diagnostics: bool = False) -> DiarizationResult:
         cfg = self.cfg
@@ -302,6 +314,9 @@ class DiarizationPipeline:
         # state, see STATUS.md) that hides several hundred ms per file.
         with stage_timer(log, "dispatch"):
             vad_finish = self.vad_probs(y_vad, sr, defer=True)
+            energy_finish = (
+                self.vad_frame_energy(y_vad, sr, defer=True)
+                if cfg.vad.energy_floor_db is not None else None)
             if streaming:
                 embed_finish = embed_windows_streaming(
                     self._grid_model, self._grid_params, y, sr,
@@ -316,7 +331,9 @@ class DiarizationPipeline:
 
         with stage_timer(log, "vad"):
             probs = vad_finish()
-            speech = vad_segments_from_probs(probs, cfg.vad)
+            energy_db = energy_finish() if energy_finish is not None else None
+            speech = vad_segments_from_probs(
+                probs, cfg.vad, frame_energy_db=energy_db)
         if len(speech) == 0:
             empty = SegmentArray.from_pairs([])
             return DiarizationResult(empty, empty, 0)

@@ -1,6 +1,10 @@
 """L2a — segmentation: VAD post-processing, speaker-change detection,
 segment merging, and frame-level reassignment (SURVEY.md layer map L2)."""
-from .vad_post import vad_segments_from_probs
+from .vad_post import (
+    apply_energy_veto,
+    frame_energy_db_chunk,
+    vad_segments_from_probs,
+)
 from .embed import (
     window_starts,
     embed_windows,
@@ -19,6 +23,8 @@ from .merge import (
 from .reassign import speaker_centroids, frame_reassign
 
 __all__ = [
+    "apply_energy_veto",
+    "frame_energy_db_chunk",
     "vad_segments_from_probs",
     "window_starts",
     "embed_windows",

@@ -123,6 +123,17 @@ def synth_voice_lpc(
             if rng.uniform() < 0.3 and pn > 64:  # plosive-like onset burst
                 phone[: 64] *= np.linspace(3.0, 1.0, 64)
             phone *= 0.35
+        # Normalize each phone to a target RMS before the envelope: the
+        # formant resonators' gain swings ~40 dB phone-to-phone depending on
+        # whether an f0 harmonic lands on a narrow (60 Hz bw) formant peak,
+        # and turn-level peak normalization then crushed everything but the
+        # lucky phones to -70..-80 dBFS (measured: median speech frame
+        # -74 dB, i.e. most labeled "speech" was effectively silence).  Real
+        # speech varies ~6-10 dB phone to phone.
+        rms = float(np.sqrt(np.mean(phone**2))) + 1e-9
+        target_db = (rng.uniform(-22.0, -14.0) if voiced
+                     else rng.uniform(-30.0, -22.0))
+        phone = phone * (10.0 ** (target_db / 20.0) / rms)
         # phone-level amplitude envelope (attack/decay)
         ramp = min(pn // 4, int(0.02 * sr)) or 1
         env = np.ones(pn)

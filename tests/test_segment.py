@@ -30,6 +30,58 @@ class TestVadPost:
         assert len(segs) == 1
         assert abs(segs.starts[0] - 2.0) < 0.1
 
+    def test_energy_veto_kills_silent_gap(self):
+        # the net leaks p>on_threshold into a digital-silence gap between
+        # two turns (measured failure mode on held-out LPC speech): the
+        # energy veto must cut the gap regardless of the probabilities
+        probs = np.full(1000, 0.2, np.float32)
+        probs[100:400] = 0.9
+        probs[400:500] = 0.75   # leaked probs inside the silent gap
+        probs[500:800] = 0.9
+        energy = np.full(1000, -20.0, np.float32)
+        energy[400:500] = -80.0  # 1 s of near-digital silence
+        cfg = VadConfig(speech_pad_ms=0)
+        segs = segment.vad_segments_from_probs(
+            probs, cfg, frame_energy_db=energy)
+        assert len(segs) == 2
+        np.testing.assert_allclose(segs.ends[0], 4.0, atol=0.1)
+        np.testing.assert_allclose(segs.starts[1], 5.0, atol=0.1)
+        # without energy the leak bridges the gap into one segment
+        assert len(segment.vad_segments_from_probs(probs, cfg)) == 1
+
+    def test_energy_veto_spares_stop_closures(self):
+        # short (<energy_veto_min_ms) low-energy runs inside words — stop
+        # closures — must NOT be vetoed
+        probs = np.full(600, 0.1, np.float32)
+        probs[100:400] = 0.9
+        energy = np.full(600, -20.0, np.float32)
+        energy[200:208] = -80.0  # 80 ms closure inside the word
+        cfg = VadConfig(speech_pad_ms=0)
+        segs = segment.vad_segments_from_probs(
+            probs, cfg, frame_energy_db=energy)
+        assert len(segs) == 1
+        np.testing.assert_allclose(segs.starts[0], 1.0, atol=0.1)
+        np.testing.assert_allclose(segs.ends[0], 4.0, atol=0.1)
+
+    def test_energy_veto_disabled(self):
+        probs = np.full(300, 0.1, np.float32)
+        probs[50:250] = 0.9
+        energy = np.full(300, -90.0, np.float32)  # all "silent"
+        cfg = VadConfig(speech_pad_ms=0, energy_floor_db=None)
+        segs = segment.vad_segments_from_probs(
+            probs, cfg, frame_energy_db=energy)
+        assert len(segs) == 1
+
+    def test_frame_energy_chunk_shape_and_values(self):
+        hop = 160
+        y = np.zeros(16000, np.float32)
+        y[1600:3200] = 0.5  # 1 s..2 s loud
+        e = np.asarray(segment.frame_energy_db_chunk(jnp.asarray(y), hop))
+        assert e.shape == (16000 // hop + 1,)
+        assert e[15] > -8.0    # inside the loud region: 10*log10(0.25)
+        assert e[50] < -100.0  # silence
+        assert e[-1] == -120.0 # the center-convention pad frame
+
 
 def _fake_encoder(freqs=(100.0, 300.0)):
     """Deterministic 'embedder': 8-d spectral energy signature of the window.
