@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Segmentation-engine quality evaluation (VERDICT r1 #7 measurement).
+
+Two layers:
+
+1. **Frame level** — best-permutation frame accuracy of the PyanNet-class
+   chunk-local activity model on held-out batches from BOTH generators
+   (train/synthetic in-domain chunks and train/multicond mixed-family
+   channel-augmented chunks), with the overlapped-frame accuracy broken out
+   (frames where >=2 slots are truly active are exactly what a VAD+SCD
+   chain cannot represent — reference scaffold:
+   ``diarization_baseline.py:170-181``).
+2. **Pipeline level** — overlap-aware DER (collar 0.25 s, overlap regions
+   SCORED, not skipped) of the segmentation engine
+   (pipelines/segmentation.segmentation_diarize) on held-out overlapping
+   conversations, next to the flagship VAD+SCD pipeline on the same files
+   (the flagship cannot emit overlapping segments, so its DER floor on
+   these files is the overlapped fraction).
+
+    python scripts/eval_segmentation.py --cpu
+    python scripts/eval_segmentation.py --weights weights/segmentation_mc.npz
+
+Prints one JSON summary line at the end.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def frame_eval(weights: Path, n_batches: int, batch: int, seed: int):
+    """Best-perm frame acc (total + overlapped frames) per generator."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_diarization_tpu.models.segmentation import (
+        best_permutation_accuracy,
+    )
+    from speech_diarization_tpu.train.multicond import (
+        make_segmentation_example_mc,
+    )
+    from speech_diarization_tpu.train.recipes import load_segmentation
+    from speech_diarization_tpu.train.synthetic import make_segmentation_example
+
+    model, params = load_segmentation(weights)
+    act_fn = jax.jit(lambda w: model.activities(params, w))
+
+    out = {}
+    for name, ex_fn in (("indomain", make_segmentation_example),
+                        ("multicond", make_segmentation_example_mc)):
+        rng = np.random.default_rng(seed)
+        accs, ov_accs, ov_frac = [], [], []
+        for _ in range(n_batches):
+            ws, ls = zip(*(ex_fn(rng) for _ in range(batch)))
+            wavs, labels = np.stack(ws), np.stack(ls)
+            act = np.asarray(act_fn(jnp.asarray(wavs)))
+            n = min(act.shape[1], labels.shape[1])
+            act, labels = act[:, :n], labels[:, :n]
+            accs.append(best_permutation_accuracy(act, labels))
+            # overlapped frames: >=2 slots truly active
+            ov = (labels > 0.5).sum(-1) >= 2  # [B, T]
+            ov_frac.append(float(ov.mean()))
+            if ov.any():
+                # accuracy restricted to overlapped frames, best-perm chosen
+                # on ALL frames (the deployment permutation)
+                import itertools
+
+                k = act.shape[-1]
+                best_all, best_ov = 0.0, 0.0
+                for perm in itertools.permutations(range(k)):
+                    ok = (act[..., list(perm)] > 0.5) == (labels > 0.5)
+                    a_all = float(ok.mean())
+                    if a_all > best_all:
+                        best_all, best_ov = a_all, float(ok[ov].mean())
+                ov_accs.append(best_ov)
+        out[name] = {
+            "best_perm_acc": round(float(np.mean(accs)), 4),
+            "overlap_frame_acc": round(float(np.mean(ov_accs)), 4) if ov_accs else None,
+            "overlap_frame_frac": round(float(np.mean(ov_frac)), 4),
+        }
+        print(f"frame[{name}]: best-perm acc {out[name]['best_perm_acc']:.4f} "
+              f"(overlapped frames {out[name]['overlap_frame_acc']}, "
+              f"{100 * out[name]['overlap_frame_frac']:.1f}% of frames)")
+    return out
+
+
+def pipeline_eval(weights: Path, n_files: int, dur_s: float, n_speakers: int,
+                  overlap_frac: float, seed: int, cpu: bool):
+    """Overlap-aware DER: segmentation engine vs flagship on held-out
+    overlapping conversations."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from speech_diarization_tpu.config import ClusterConfig, DiarizationConfig
+    from speech_diarization_tpu.metrics import diarization_error_rate
+    from speech_diarization_tpu.pipelines.diarize import DiarizationPipeline
+    from speech_diarization_tpu.pipelines.segmentation import (
+        SegmentationConfig, segmentation_diarize,
+    )
+    from speech_diarization_tpu.train.heldout import make_conversation_heldout
+    from speech_diarization_tpu.train.recipes import (
+        load_segmentation, load_speaker_encoder,
+    )
+    from speech_diarization_tpu.types import SegmentArray
+
+    sr = 16000
+    wroot = Path(__file__).resolve().parents[1] / "weights"
+    enc_w = wroot / "ecapa_synthetic_full_stream.npz"
+    dtype = jnp.float32 if cpu else jnp.bfloat16
+    model, params = load_speaker_encoder(enc_w, dtype=dtype)
+    pipe = DiarizationPipeline(
+        DiarizationConfig(cluster=ClusterConfig(method="spectral", max_speakers=8)),
+        encoder=(model, params))
+
+    seg_model, seg_params = load_segmentation(weights)
+    seg_fn = jax.jit(partial(seg_model.activities, seg_params))
+    seg_cfg = SegmentationConfig()
+
+    rows = []
+    for i in range(n_files):
+        rng = np.random.default_rng(4000 + seed + i)
+        wave, (s, e, k) = make_conversation_heldout(
+            rng, dur_s, n_speakers=n_speakers, sr=sr, overlap_frac=overlap_frac)
+        truth = SegmentArray(s, e, k)
+        t0 = time.time()
+        seg_hyp = segmentation_diarize(wave, sr, seg_fn, pipe.encode_fn, seg_cfg)
+        t_seg = time.time() - t0
+        t0 = time.time()
+        flag_hyp = pipe((wave, sr)).segments
+        t_flag = time.time() - t0
+        d_seg = diarization_error_rate(truth, seg_hyp, collar_s=0.25)
+        d_flag = diarization_error_rate(truth, flag_hyp, collar_s=0.25)
+        rows.append((d_seg, d_flag))
+        print(f"  [f{i}] seg-engine der {100 * d_seg.der:.2f}% "
+              f"(miss {100 * d_seg.miss:.1f} fa {100 * d_seg.false_alarm:.1f} "
+              f"conf {100 * d_seg.confusion:.1f}, {t_seg:.1f}s) | "
+              f"flagship der {100 * d_flag.der:.2f}% "
+              f"(miss {100 * d_flag.miss:.1f}, {t_flag:.1f}s)",
+              file=sys.stderr)
+    out = {}
+    for name, idx in (("seg_engine", 0), ("flagship", 1)):
+        ders = [r[idx] for r in rows]
+        out[name] = {
+            "der_pct": round(float(np.mean([d.der for d in ders]) * 100), 2),
+            "miss_pct": round(float(np.mean([d.miss for d in ders]) * 100), 2),
+            "fa_pct": round(float(np.mean([d.false_alarm for d in ders]) * 100), 2),
+            "conf_pct": round(float(np.mean([d.confusion for d in ders]) * 100), 2),
+        }
+        print(f"pipeline[{name}]: DER {out[name]['der_pct']:.2f}% "
+              f"(miss {out[name]['miss_pct']:.2f} fa {out[name]['fa_pct']:.2f} "
+              f"conf {out[name]['conf_pct']:.2f})")
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--weights", type=str,
+                    default=str(Path(__file__).resolve().parents[1]
+                                / "weights" / "segmentation_synthetic.npz"))
+    ap.add_argument("--n-batches", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--n-files", type=int, default=3)
+    ap.add_argument("--dur", type=float, default=60.0)
+    ap.add_argument("--speakers", type=int, default=3)
+    ap.add_argument("--overlap", type=float, default=0.3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--frames-only", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    w = Path(args.weights)
+    frame = frame_eval(w, args.n_batches, args.batch, args.seed)
+    pipe = None
+    if not args.frames_only:
+        pipe = pipeline_eval(w, args.n_files, args.dur, args.speakers,
+                             args.overlap, args.seed, args.cpu)
+    print(json.dumps({"metric": "segmentation_quality",
+                      "weights": w.name, "frame": frame, "pipeline": pipe}))
+
+
+if __name__ == "__main__":
+    main()

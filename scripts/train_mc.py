@@ -53,6 +53,10 @@ def main() -> None:
     ap.add_argument("--channel-p", type=float, default=0.5)
     ap.add_argument("--competing-p", type=float, default=0.0)
     ap.add_argument("--snr-floor", type=float, default=8.0)
+    ap.add_argument("--powerset", action="store_true",
+                    help="segmentation: train the pyannote-3.x powerset "
+                         "multiclass head (PIT-CE) instead of multilabel "
+                         "sigmoids")
     args = ap.parse_args()
 
     if args.cpu:
@@ -106,7 +110,20 @@ def main() -> None:
         init = None
         src = Path(args.src) if args.src else wroot / "segmentation_synthetic.npz"
         if not args.cold and src.exists():
+            from speech_diarization_tpu.models.port import load_params_meta
+
             init = recipes.load_segmentation_weights(src)
+            src_powerset = (load_params_meta(src) or {}).get(
+                "net", {}).get("powerset", False)
+            if args.powerset and not src_powerset:
+                # warm-start trunk only: a sigmoid out head (2h, K) cannot
+                # seed the powerset head (2h, 2^K) — re-init those two
+                import jax as _jax
+
+                from speech_diarization_tpu.models.segmentation import SegNet
+
+                fresh = SegNet(powerset=True).init(_jax.random.PRNGKey(args.seed))
+                init["out_w"], init["out_b"] = fresh["out_w"], fresh["out_b"]
         out = args.out or wroot / "segmentation_mc.npz"
         params, metrics = recipes.train_segmentation_synthetic(
             steps=args.steps or 1500,
@@ -116,6 +133,7 @@ def main() -> None:
             out_path=out,
             example_fn=partial(make_segmentation_example_mc, channels=channels),
             init_params=init,
+            powerset=args.powerset,
         )
         print(f"segmentation mc done in {time.time()-t0:.0f}s: "
               f"best-perm acc {metrics['frame_accuracy']:.4f} -> {out}")

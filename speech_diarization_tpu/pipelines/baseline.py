@@ -65,13 +65,17 @@ class Diarizer:
             from .segmentation import SegmentationConfig
 
             model = SegmentationModel()
-            seg_weights = seg_weights or (
-                Path(__file__).resolve().parents[2]
-                / "weights" / "segmentation_synthetic.npz")
+            wroot = Path(__file__).resolve().parents[2] / "weights"
+            seg_weights = seg_weights or next(
+                (wroot / n for n in ("segmentation_powerset.npz",
+                                     "segmentation_mc.npz",
+                                     "segmentation_synthetic.npz")
+                 if (wroot / n).exists()),
+                wroot / "segmentation_synthetic.npz")
             if Path(seg_weights).exists():
-                from ..train.recipes import load_segmentation_weights
+                from ..train.recipes import load_segmentation
 
-                params = load_segmentation_weights(seg_weights)
+                model, params = load_segmentation(seg_weights)
             else:
                 log.warning(
                     "segmentation engine: %s missing — RANDOM weights, "

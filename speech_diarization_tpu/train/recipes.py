@@ -636,19 +636,28 @@ def train_segmentation_synthetic(
     eval_every: int = 50,
     example_fn=None,
     init_params: dict | None = None,
+    powerset: bool = False,
+    channels: int = 96,
+    hidden: int = 96,
 ) -> tuple[dict, dict]:
     """Train the PyanNet-class chunk-local segmentation model (VERDICT r1
-    missing #3) on synthetic overlapping-speech chunks with PIT-BCE; returns
-    (params, metrics with heldout best-permutation frame accuracy)."""
+    missing #3) on synthetic overlapping-speech chunks; returns (params,
+    metrics with heldout best-permutation frame accuracy).
+
+    ``powerset=True`` trains the pyannote-3.x multiclass head with PIT-CE
+    (models/segmentation.powerset_pit_ce_loss); ``False`` the legacy
+    multilabel sigmoid head with PIT-BCE."""
     import optax as _optax
 
     from ..models.segmentation import (
-        SegmentationModel, best_permutation_accuracy, pit_bce_loss,
+        SegmentationModel, SegNet, best_permutation_accuracy, pit_bce_loss,
+        powerset_pit_ce_loss,
     )
     from ..train.synthetic import make_segmentation_example
 
-    model = SegmentationModel()
-    model.net.n_speakers = max_speakers
+    model = SegmentationModel(net=SegNet(
+        channels=channels, hidden=hidden, n_speakers=max_speakers,
+        powerset=powerset))
     params = init_params if init_params is not None else model.init(
         jax.random.PRNGKey(seed))
     # cosine decay stabilizes the tail (PIT-BCE plateaus noisily at a
@@ -664,6 +673,10 @@ def train_segmentation_synthetic(
         return np.stack(ws), np.stack(ls)
 
     def loss_fn(p, wavs, labels):
+        if powerset:
+            logits = model.head_logits(p, wavs)
+            n = min(logits.shape[1], labels.shape[1])
+            return powerset_pit_ce_loss(logits[:, :n], labels[:, :n])
         act = model.activities(p, wavs)
         n = min(act.shape[1], labels.shape[1])
         return pit_bce_loss(act[:, :n], labels[:, :n])
@@ -691,7 +704,9 @@ def train_segmentation_synthetic(
     log.info("seg heldout best-perm frame accuracy %.3f", metrics["frame_accuracy"])
 
     if out_path is not None:
-        save_params_npz(_flatten(params), out_path)
+        save_params_npz(_flatten(params), out_path, meta={"net": {
+            "channels": channels, "hidden": hidden,
+            "n_speakers": max_speakers, "powerset": powerset}})
     return params, metrics
 
 
@@ -711,6 +726,20 @@ def load_demixer(path: str | Path):
     meta = load_params_meta(path) or {}
     model = DialogDemixer(**meta.get("net", {}))
     return model, load_demixer_weights(path)
+
+
+def load_segmentation(path: str | Path):
+    """-> (SegmentationModel, params); the head type / width travels in the
+    npz ``__meta__`` sidecar (legacy checkpoints without meta are the
+    96/96 sigmoid-head net).  Prefer this over bare
+    :func:`load_segmentation_weights` — a powerset checkpoint loaded into a
+    sigmoid-head model would silently misinterpret the out head."""
+    from ..models.port import load_params_meta
+    from ..models.segmentation import SegmentationModel, SegNet
+
+    meta = load_params_meta(path) or {}
+    model = SegmentationModel(net=SegNet(**meta.get("net", {})))
+    return model, load_segmentation_weights(path)
 
 
 def load_segmentation_weights(path: str | Path) -> dict:

@@ -52,6 +52,76 @@ class TestPitLoss:
             float(pit_bce_loss(bad, jnp.asarray(target)))
 
 
+class TestPowersetHead:
+    def test_shapes_and_marginalization(self):
+        net = SegNet(n_mels=24, channels=32, hidden=32, n_speakers=3,
+                     powerset=True)
+        model = SegmentationModel(net)
+        params = model.init(jax.random.PRNGKey(0))
+        assert params["out_w"].shape == (64, 8)
+        wavs = jnp.asarray(np.random.default_rng(0)
+                           .standard_normal((2, 16000)).astype(np.float32))
+        act = np.asarray(model.activities(params, wavs))
+        assert act.shape == (2, 101, 3)
+        assert (act >= 0).all() and (act <= 1).all()
+        # marginal of speaker k = sum of softmax over classes with bit k:
+        # bounded by 1 - P(silence class)
+        logits = np.asarray(model.head_logits(params, wavs))
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+        assert np.all(act <= (1 - probs[..., 0])[..., None] + 1e-5)
+
+    def test_membership_matrix(self):
+        net = SegNet(n_speakers=3, powerset=True)
+        m = net.membership()
+        assert m.shape == (8, 3)
+        assert m[0].sum() == 0          # class 0 = silence
+        assert m[7].sum() == 3          # class 7 = all three
+        assert (m[[1, 2, 4]].sum(1) == 1).all()  # singletons
+
+    def test_powerset_pit_ce_permutation_invariance(self):
+        from speech_diarization_tpu.models.segmentation import (
+            powerset_pit_ce_loss,
+        )
+
+        g = np.random.default_rng(0)
+        target = (g.uniform(size=(2, 50, 3)) > 0.6).astype(np.float32)
+        logits = jnp.asarray(g.standard_normal((2, 50, 8)).astype(np.float32))
+        base = float(powerset_pit_ce_loss(logits, jnp.asarray(target)))
+        perm = float(powerset_pit_ce_loss(logits,
+                                          jnp.asarray(target[..., [1, 2, 0]])))
+        assert abs(base - perm) < 1e-5
+
+    def test_powerset_ce_prefers_correct_classes(self):
+        from speech_diarization_tpu.models.segmentation import (
+            powerset_pit_ce_loss,
+        )
+
+        g = np.random.default_rng(1)
+        target = (g.uniform(size=(2, 50, 3)) > 0.6).astype(np.float32)
+        cls = (target.astype(np.int64) * np.array([1, 2, 4])).sum(-1)
+        good = np.full((2, 50, 8), -4.0, np.float32)
+        np.put_along_axis(good, cls[..., None], 4.0, axis=-1)
+        bad = np.asarray(g.standard_normal((2, 50, 8)), np.float32)
+        assert float(powerset_pit_ce_loss(jnp.asarray(good),
+                                          jnp.asarray(target))) < \
+            float(powerset_pit_ce_loss(jnp.asarray(bad), jnp.asarray(target)))
+
+    def test_meta_roundtrip(self, tmp_path):
+        from speech_diarization_tpu.train.recipes import (
+            load_segmentation, train_segmentation_synthetic,
+        )
+
+        out = tmp_path / "seg_ps.npz"
+        params, metrics = train_segmentation_synthetic(
+            steps=2, batch=2, dur_s=1.0, out_path=out, powerset=True,
+            channels=16, hidden=16)
+        model, loaded = load_segmentation(out)
+        assert model.net.powerset and model.net.n_out == 8
+        wav = jnp.zeros((1, 16000), jnp.float32)
+        act = np.asarray(model.activities(loaded, wav))
+        assert act.shape[-1] == 3
+
+
 class TestSyntheticOverlap:
     def test_example_has_overlap_somewhere(self):
         rng = np.random.default_rng(0)
