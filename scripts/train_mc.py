@@ -34,7 +34,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("what", choices=["vad", "encoder", "encoder-windowed",
                                      "encoder-proto", "segmentation",
-                                     "gtcrn", "zipenhancer"])
+                                     "gtcrn", "zipenhancer", "demix"])
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--cache", type=int, default=768)
@@ -53,6 +53,10 @@ def main() -> None:
     ap.add_argument("--channel-p", type=float, default=0.5)
     ap.add_argument("--competing-p", type=float, default=0.0)
     ap.add_argument("--snr-floor", type=float, default=8.0)
+    # demix scale knobs (VERDICT r1 #8: the round-1 +3.6 dB net was the
+    # 48-channel default trained on CPU; the chip can afford a wider one)
+    ap.add_argument("--demix-channels", type=int, default=64)
+    ap.add_argument("--demix-depth", type=int, default=5)
     ap.add_argument("--powerset", action="store_true",
                     help="segmentation: train the pyannote-3.x powerset "
                          "multiclass head (PIT-CE) instead of multilabel "
@@ -137,6 +141,20 @@ def main() -> None:
         )
         print(f"segmentation mc done in {time.time()-t0:.0f}s: "
               f"best-perm acc {metrics['frame_accuracy']:.4f} -> {out}")
+        return
+
+    if args.what == "demix":
+        from speech_diarization_tpu.models.demix import DialogDemixer
+
+        net = DialogDemixer(channels=args.demix_channels,
+                            depth=args.demix_depth)
+        out = args.out or wroot / "demix_mc.npz"
+        params, metrics = recipes.train_demixer_synthetic(
+            steps=args.steps or 800, batch=args.batch or 4,
+            lr=args.lr or 5e-4, seed=args.seed, out_path=out, net=net)
+        print(f"demix done in {time.time()-t0:.0f}s: per-stem SI-SNR "
+              f"{metrics['si_snr_mix_db']:.2f} -> {metrics['si_snr_est_db']:.2f} dB "
+              f"(+{metrics['si_snr_gain_db']:.2f}) -> {out}")
         return
 
     if args.what in ("gtcrn", "zipenhancer"):
