@@ -30,11 +30,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--enc", default="weights/ecapa_synthetic_full_stream.npz")
     ap.add_argument("--vad", default=None)
-    ap.add_argument("--domain", choices=["indomain", "heldout"],
+    ap.add_argument("--domain", choices=["indomain", "heldout", "both"],
                     default="indomain")
     ap.add_argument("--dur", type=float, default=120.0)
     ap.add_argument("--files", type=int, default=4)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--write", action="store_true",
+                    help="stamp the decided refine_sub_cos into the "
+                         "checkpoint's __meta__ (-1 = refine off)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -74,10 +77,13 @@ def main() -> None:
 
         return make_conversation_heldout(rng, dur, n_speakers=n_spk, sr=16000)
 
+    domains = (["indomain", "heldout"] if args.domain == "both"
+               else [args.domain])
     rows = []
-    for n_spk in (1, 2, 3):
+    for domain in domains:
+      for n_spk in (1, 2, 3):
         for i in range(args.files):
-            wave, (ts, te, tk) = make(args.domain, 500 + 10 * n_spk + i,
+            wave, (ts, te, tk) = make(domain, 500 + 10 * n_spk + i,
                                       n_spk, args.dur)
             res = pipe((wave, 16000), collect_diagnostics=True)
             d = res.diagnostics
@@ -141,6 +147,30 @@ def main() -> None:
             "single_rel_min": min(r["rel"] for r in single),
             "merged_rel_max": max(r["rel"] for r in merged),
         }))
+
+    if args.write:
+        # decide the encoder's refine_sub_cos and stamp it into the npz meta
+        # (the pipeline reads it; absent meta falls back to the r1-calibrated
+        # 0.65, which over-splits encoders with a lower cosine scale).
+        # Split fires when sub_cos <= thr, so:
+        #   * merged+single separable -> midpoint of the gap
+        #   * singles only            -> just below every observed single
+        #     (provably never splits what we saw)
+        #   * inseparable or no data  -> -1.0 = refine off for these weights
+        thr = -1.0
+        if single:
+            smin = min(r["sub_cos"] for r in single)
+            if merged:
+                mmax = max(r["sub_cos"] for r in merged)
+                if mmax < smin - 0.02:
+                    thr = round((mmax + smin) / 2.0, 4)
+            else:
+                thr = round(max(smin - 0.05, 0.0), 4)
+        from speech_diarization_tpu.models.port import update_params_meta
+
+        meta = update_params_meta(args.enc, refine_sub_cos=thr)
+        print(json.dumps({"written": args.enc, "refine_sub_cos": thr,
+                          "n_single": len(single), "n_merged": len(merged)}))
 
 
 if __name__ == "__main__":

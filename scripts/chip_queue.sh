@@ -49,6 +49,12 @@ stage proto3 python scripts/train_mc.py encoder-proto \
 stage gtcrn python scripts/train_mc.py gtcrn --steps 1500 \
   --out weights/gtcrn_mc.npz
 
+# 2.5 calibrate the bisect-refine threshold for proto3 and stamp it into
+#     the npz meta (absent meta falls back to the r1 0.65, which over-splits
+#     proto-family encoders — ADVICE r1 / STATUS decomposition #3).
+stage calib_proto3 python scripts/calibrate_bisect.py \
+  --enc weights/ecapa_proto3_stream.npz --domain both --write
+
 # 3. held-out re-baseline: proto3 across all domains, raw.
 stage eval_proto3 python scripts/eval_heldout.py \
   --enc-weights weights/ecapa_proto3_stream.npz

@@ -106,7 +106,8 @@ def build_pipeline(cpu_dtype: bool, enc_weights: str | None = None,
         enhance=EnhanceConfig(
             enabled=bool(os.environ.get("SDTPU_EVAL_ENHANCE")),
             backend=os.environ.get("SDTPU_EVAL_ENHANCE") or "gtcrn",
-            scope=os.environ.get("SDTPU_EVAL_ENHANCE_SCOPE", "full")))
+            scope=os.environ.get("SDTPU_EVAL_ENHANCE_SCOPE", "full"),
+            weights=os.environ.get("SDTPU_EVAL_ENHANCE_WEIGHTS")))
     return DiarizationPipeline(cfg, encoder=(model, params),
                                vad_probs_fn=vad_fn), enc_w.name, (vad_w.name if vad_w else None)
 

@@ -165,7 +165,9 @@ def main() -> None:
         pair_fn = partial(make_noisy_clean_batch_mc, channels=channels)
         if args.what == "gtcrn":
             init = None
-            src = Path(args.src) if args.src else wroot / "gtcrn_synthetic.npz"
+            src = Path(args.src) if args.src else next(
+                (wroot / n for n in ("gtcrn_mc.npz", "gtcrn_synthetic.npz")
+                 if (wroot / n).exists()), wroot / "gtcrn_synthetic.npz")
             if not args.cold and src.exists():
                 import numpy as _np
 

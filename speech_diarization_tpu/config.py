@@ -181,6 +181,8 @@ class EnhanceConfig:
     # white @10 dB SNR miss 58% -> 0%) but distorts speaker cues, so keeping
     # embeddings raw preserves separability
     scope: str = "full"
+    # checkpoint override (.npz); None = the shipped default for the backend
+    weights: str | None = None
     # GTCRN long-audio chunking (gtcrn_wrap.py:101-107)
     chunk_s: float = 360.0
     overlap_s: float = 1.0

@@ -150,7 +150,7 @@ class DiarizationPipeline:
                 else {"window_s": e.window_s, "hop_ratio": e.hop_ratio,
                       "batch_size": e.batch_size}
             )
-            enhance_fn = make_enhance_fn(e.backend, **kwargs)
+            enhance_fn = make_enhance_fn(e.backend, weights=e.weights, **kwargs)
         self.enhance_fn = enhance_fn
 
     # ------------------------------------------------------------------ io --

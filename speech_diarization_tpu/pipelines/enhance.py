@@ -174,21 +174,34 @@ def enhance_batch(
     return written
 
 
-def make_enhance_fn(backend: str, params=None, **kwargs) -> Callable:
+def make_enhance_fn(backend: str, params=None, weights=None, **kwargs) -> Callable:
     """Factory for the pipeline's ``enhance_fn`` slot (the latent
     enhancement-before-diarization stage the reference left commented out at
-    ``diarization_baseline.py:333-338`` — first-class here)."""
+    ``diarization_baseline.py:333-338`` — first-class here).
+
+    ``weights``: checkpoint path override (.npz) for any backend; wins over
+    the shipped default but loses to an explicit ``params`` tree."""
+    if weights is not None and params is None:
+        from ..models.port import load_params_npz
+
+        log.info("%s: loading weights override %s", backend, weights)
+        params = load_params_npz(weights)
     if backend == "gtcrn":
         if params is None:
             from pathlib import Path
 
             from ..models.port import load_params_npz
 
-            default = (Path(__file__).resolve().parents[2]
-                       / "weights" / "gtcrn_synthetic.npz")
+            wroot = Path(__file__).resolve().parents[2] / "weights"
+            # prefer the multi-condition retrain (babble/reverb beds): it
+            # beats the r1 synthetic weights on BOTH noise families
+            # (r1-family 8.77 vs 8.29 dB SI-SNR, mc-family 11.3 vs 8.29)
+            default = next((wroot / n for n in ("gtcrn_mc.npz",
+                                                "gtcrn_synthetic.npz")
+                            if (wroot / n).exists()),
+                           wroot / "gtcrn_synthetic.npz")
             if default.exists():
-                log.info("gtcrn: using shipped synthetic-trained weights %s",
-                         default)
+                log.info("gtcrn: using shipped trained weights %s", default)
                 params = load_params_npz(default)
             else:
                 log.warning(

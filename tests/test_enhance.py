@@ -145,7 +145,8 @@ class TestTrainedEnhancement:
         self._propagate_sdtpu(monkeypatch)
         with caplog.at_level(logging.INFO, logger="sdtpu.enhance"):
             make_enhance_fn("gtcrn")
-        assert any("synthetic-trained weights" in r.message for r in caplog.records)
+        assert any("using shipped trained weights" in r.message
+                   for r in caplog.records)
 
     def test_random_weight_warning_is_loud(self, caplog, tmp_path, monkeypatch):
         import logging
