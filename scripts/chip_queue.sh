@@ -30,11 +30,13 @@ stage() {
 # 0. stop the CPU-bound gtcrn fallback run, if still alive: the chip does
 #    the same 1500 steps in minutes (stage 2) and the freed core unblocks
 #    the tunnel client (CPU contention inflates dispatch ~8x).
-if [ -f /tmp/train_gtcrn.pid ] && kill -0 "$(cat /tmp/train_gtcrn.pid)" 2>/dev/null; then
-  kill "$(cat /tmp/train_gtcrn.pid)"
-  echo "[chipq] stopped CPU gtcrn run ($(cat /tmp/train_gtcrn.pid))"
-  sleep 2
-fi
+for pidf in /tmp/train_gtcrn.pid /tmp/train_seg.pid; do
+  if [ -f "$pidf" ] && kill -0 "$(cat "$pidf")" 2>/dev/null; then
+    kill "$(cat "$pidf")"
+    echo "[chipq] stopped CPU fallback run $pidf ($(cat "$pidf"))"
+    sleep 2
+  fi
+done
 
 # 1. proto3 encoder: the fixed-crest-factor multi-condition retrain
 #    (competing speech 0.3, channel 0.7, snr floor 5 dB) — the encoder is
