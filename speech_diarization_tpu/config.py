@@ -179,8 +179,15 @@ class EnhanceConfig:
     # only the VAD sees denoised audio while embeddings run on the raw
     # signal — denoising recovers missed speech under heavy noise (measured:
     # white @10 dB SNR miss 58% -> 0%) but distorts speaker cues, so keeping
-    # embeddings raw preserves separability
+    # embeddings raw preserves separability; 'auto' = measure the file's
+    # frame-energy floor first and engage vad-scope denoising only when the
+    # estimated SNR is below ``auto_snr_db`` (clean files skip the enhancer
+    # entirely — zero cost on the common path)
     scope: str = "full"
+    # 'auto' engages enhancement below this estimated SNR.  Measured floors:
+    # in-domain synthesis ~35-40 dB, white @10 dB ~10 dB, babble @5-15 dB
+    # ~5-15 dB — 18 dB separates them with margin on both sides
+    auto_snr_db: float = 18.0
     # checkpoint override (.npz); None = the shipped default for the backend
     weights: str | None = None
     # GTCRN long-audio chunking (gtcrn_wrap.py:101-107)

@@ -233,12 +233,21 @@ class DiarizationPipeline:
             yd = jnp.asarray(q)
         yd_enh = None
         if self.enhance_fn is not None:
-            if yd.dtype == jnp.int16:
-                yd = yd.astype(jnp.float32) * (scale / 32767.0)
-            yd_enh = self.enhance_fn(yd)
-            if self.cfg.enhance.scope != "vad":
-                yd = yd_enh
-                yd_enh = None
+            scope = self.cfg.enhance.scope
+            engage = True
+            if scope == "auto":
+                snr = self._estimate_snr_db(yd, t)
+                engage = snr < self.cfg.enhance.auto_snr_db
+                log.info("enhance auto-scope: est SNR %.1f dB (thr %.1f) "
+                         "-> %s", snr, self.cfg.enhance.auto_snr_db,
+                         "denoise for VAD" if engage else "skip")
+            if engage:
+                if yd.dtype == jnp.int16:
+                    yd = yd.astype(jnp.float32) * (scale / 32767.0)
+                yd_enh = self.enhance_fn(yd)
+                if scope == "full":
+                    yd = yd_enh
+                    yd_enh = None
         if not hasattr(self, "_preprocess_jit"):
             self._preprocess_jit = jax.jit(
                 self._preprocess_device, static_argnames=("sr",)
@@ -249,6 +258,34 @@ class DiarizationPipeline:
         yd_enh = self._preprocess_jit(yd_enh, jnp.float32(t), sr,
                                       jnp.float32(scale))
         return yd[:t], yd_enh[:t], sr
+
+    _SNR_FRAME = 800  # 50 ms @ 16 kHz — syllable-scale energy frames
+
+    def _estimate_snr_db(self, yd: jnp.ndarray, n_valid: int) -> float:
+        """Cheap noise-floor probe for ``EnhanceConfig.scope == 'auto'``:
+        10·log10(p90/p10) of 50 ms frame energies over the valid samples.
+        Speech-with-gaps puts p10 on the inter-turn floor and p90 on speech,
+        so the ratio tracks SNR; digital-silence gaps give a huge ratio
+        (clean ⇒ enhancement skipped).  One tiny dispatch + scalar pull per
+        file; compiles once per pad bucket (fixed shapes)."""
+        if not hasattr(self, "_snr_jit"):
+            frame = self._SNR_FRAME
+
+            def stats(y, n):
+                f = y[: (y.shape[0] // frame) * frame].astype(jnp.float32)
+                e = jnp.mean(jnp.square(f.reshape(-1, frame)), axis=1)
+                idx = jnp.arange(e.shape[0])
+                valid = (idx + 1) * frame <= n
+                e = jnp.where(valid, e, jnp.nan)
+                return (jnp.nanpercentile(e, 10.0),
+                        jnp.nanpercentile(e, 90.0))
+
+            self._snr_jit = jax.jit(stats)
+        p10, p90 = self._snr_jit(yd, jnp.int32(n_valid))
+        p10, p90 = float(p10), float(p90)
+        if not np.isfinite(p90) or p90 <= 0.0:
+            return float("inf")  # empty/near-silent file: nothing to denoise
+        return 10.0 * float(np.log10(p90 / max(p10, 1e-12 * p90 + 1e-30)))
 
     # ----------------------------------------------------------------- vad --
     def vad_probs(self, y: jnp.ndarray, sr: int, defer: bool = False):

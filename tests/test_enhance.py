@@ -181,3 +181,60 @@ class TestTrainedZipEnhancer:
         enh = np.asarray(fwd(jnp.asarray(noisy)))
         gain = si_snr_db(enh, clean) - si_snr_db(noisy, clean)
         assert gain >= 3.0, f"SI-SNR gain only {gain:.2f} dB"
+
+
+class TestAutoScope:
+    """EnhanceConfig.scope='auto': noise-floor probe gates the denoiser."""
+
+    def _make_pipe(self, **enh_kwargs):
+        from speech_diarization_tpu.config import (
+            DiarizationConfig, EnhanceConfig,
+        )
+        from speech_diarization_tpu.pipelines.diarize import (
+            DiarizationPipeline,
+        )
+
+        cfg = DiarizationConfig(enhance=EnhanceConfig(**enh_kwargs))
+        return DiarizationPipeline(cfg)
+
+    def _speech_like(self, noise_rms: float, dur_s: float = 8.0,
+                     sr: int = 16000) -> np.ndarray:
+        """Sine bursts (speech stand-in) over a constant noise floor."""
+        g = np.random.default_rng(0)
+        t = np.arange(int(dur_s * sr)) / sr
+        y = g.standard_normal(len(t)).astype(np.float32) * noise_rms
+        for k in range(int(dur_s) // 2):
+            a, b = int((2 * k + 0.3) * sr), int((2 * k + 1.5) * sr)
+            y[a:b] += (0.3 * np.sin(2 * np.pi * 220 * t[a:b])).astype(np.float32)
+        return y
+
+    def test_snr_estimate_separates_clean_from_noisy(self):
+        pipe = self._make_pipe(enabled=False)
+        sr = 16000
+        clean = self._speech_like(noise_rms=1e-4)
+        noisy = self._speech_like(noise_rms=0.05)  # ~10 dB vs 0.3-peak bursts
+        yc = jnp.asarray(np.pad(clean, (0, 60 * sr - len(clean))))
+        yn = jnp.asarray(np.pad(noisy, (0, 60 * sr - len(noisy))))
+        snr_clean = pipe._estimate_snr_db(yc, len(clean))
+        snr_noisy = pipe._estimate_snr_db(yn, len(noisy))
+        assert snr_clean > 30.0, snr_clean
+        assert snr_noisy < 18.0, snr_noisy
+        # padding zeros must not contaminate the floor estimate
+        assert snr_noisy > 3.0, snr_noisy
+
+    def test_empty_input_returns_inf(self):
+        pipe = self._make_pipe(enabled=False)
+        y = jnp.zeros(16000, jnp.float32)
+        assert pipe._estimate_snr_db(y, 16000) == float("inf")
+
+    @pytest.mark.slow
+    def test_auto_engages_only_on_noisy_audio(self):
+        sr = 16000
+        pipe = self._make_pipe(enabled=True, backend="gtcrn", scope="auto")
+        clean = self._speech_like(noise_rms=1e-4)
+        wave, vad_wave, _ = pipe._load_waves((clean, sr))
+        np.testing.assert_array_equal(np.asarray(wave), np.asarray(vad_wave))
+
+        noisy = self._speech_like(noise_rms=0.05)
+        wave, vad_wave, _ = pipe._load_waves((noisy, sr))
+        assert not np.allclose(np.asarray(wave), np.asarray(vad_wave))
