@@ -44,6 +44,17 @@ def _add_common_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--merge-gap-s", type=float, default=0.5)
     p.add_argument("--merge-max-turn-s", type=float, default=30.0)
     p.add_argument("--merge-min-cos", type=float, default=0.80)
+    p.add_argument("--enhance", default=None,
+                   choices=["gtcrn", "zipenhancer"],
+                   help="denoise front-end before diarization (the stage the "
+                        "reference left commented out)")
+    p.add_argument("--enhance-scope", default="auto",
+                   choices=["full", "vad", "auto"],
+                   help="'vad' denoises only the VAD input (keeps speaker "
+                        "cues raw); 'auto' engages vad-scope only when the "
+                        "file measures noisy")
+    p.add_argument("--enhance-weights", type=str, default=None,
+                   help=".npz checkpoint override for the enhancer")
     p.add_argument("--encoder", default="ecapa",
                    choices=["ecapa", "eres2netv2", "campp"])
     p.add_argument("--encoder-weights", type=str, default=None,
@@ -63,14 +74,20 @@ def _add_common_config_args(p: argparse.ArgumentParser) -> None:
 
 def build_config(args: argparse.Namespace):
     from .config import (
-        AudioConfig, ClusterConfig, DiarizationConfig, MergeConfig,
-        ResegConfig, ScdConfig, VadConfig, config_from_dict,
+        AudioConfig, ClusterConfig, DiarizationConfig, EnhanceConfig,
+        MergeConfig, ResegConfig, ScdConfig, VadConfig, config_from_dict,
     )
 
     if args.config:
         with open(args.config) as f:
             return config_from_dict(json.load(f))
     return DiarizationConfig(
+        enhance=EnhanceConfig(
+            enabled=bool(getattr(args, "enhance", None)),
+            backend=getattr(args, "enhance", None) or "gtcrn",
+            scope=getattr(args, "enhance_scope", "auto"),
+            weights=getattr(args, "enhance_weights", None),
+        ),
         audio=AudioConfig(
             sample_rate=args.sample_rate,
             target_lufs=None if args.no_loudness_norm else args.target_lufs,
