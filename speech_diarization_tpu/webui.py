@@ -36,7 +36,7 @@ def run_diarize_ui(
     audio,
     vad_on, vad_off, min_speech_ms, min_silence_ms, speech_pad_ms,
     scd_thr, cluster_method, max_speakers, merge_gap_s, merge_maxturn_s,
-    merge_mincos, reseg,
+    merge_mincos, reseg, denoise=False,
 ):
     import matplotlib
 
@@ -45,8 +45,8 @@ def run_diarize_ui(
     import pandas as pd
 
     from .config import (
-        ClusterConfig, DiarizationConfig, MergeConfig, ResegConfig,
-        ScdConfig, VadConfig,
+        ClusterConfig, DiarizationConfig, EnhanceConfig, MergeConfig,
+        ResegConfig, ScdConfig, VadConfig,
     )
     from .io.writers import relabel_speakers
     from .pipelines.diarize import DiarizationPipeline
@@ -61,6 +61,9 @@ def run_diarize_ui(
         reseg=ResegConfig(enabled=bool(reseg)),
         merge=MergeConfig(max_gap_s=merge_gap_s, max_turn_s=merge_maxturn_s,
                           min_cos=merge_mincos),
+        # 'auto' scope: the denoiser only engages when the file measures
+        # noisy, so leaving the box ticked costs nothing on clean audio
+        enhance=EnhanceConfig(enabled=bool(denoise), scope="auto"),
     )
     result = DiarizationPipeline(cfg)((y, sr))
     entries = relabel_speakers(result.segments)
@@ -109,6 +112,9 @@ def build_ui():
                                      value="spectral", label="clustering")
                 max_spk = gr.Slider(1, 10, 8, step=1, label="max speakers")
                 reseg = gr.Checkbox(value=True, label="frame reassignment")
+                denoise = gr.Checkbox(
+                    value=False,
+                    label="denoise if noisy (GTCRN, auto-engaged)")
             with gr.Row():
                 merge_gap = gr.Slider(0.01, 10.0, 0.5, step=0.01, label="merge gap (s)")
                 maxturn = gr.Slider(2.0, 60.0, 30.0, step=0.5, label="max turn (s)")
@@ -119,7 +125,8 @@ def build_ui():
         btn.click(
             fn=run_diarize_ui,
             inputs=[audio, vad_on, vad_off, min_speech, min_sil, pad, scd_thr,
-                    method, max_spk, merge_gap, maxturn, mincos, reseg],
+                    method, max_spk, merge_gap, maxturn, mincos, reseg,
+                    denoise],
             outputs=[fig, table],
         )
     return demo
