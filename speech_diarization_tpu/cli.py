@@ -45,9 +45,10 @@ def _add_common_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--merge-max-turn-s", type=float, default=30.0)
     p.add_argument("--merge-min-cos", type=float, default=0.80)
     p.add_argument("--enhance", default=None,
-                   choices=["gtcrn", "zipenhancer"],
-                   help="denoise front-end before diarization (the stage the "
-                        "reference left commented out)")
+                   choices=["gtcrn", "zipenhancer", "off"],
+                   help="denoise front-end before diarization; default is "
+                        "gtcrn with scope 'auto' (engages only on noisy "
+                        "files); 'off' disables the stage")
     p.add_argument("--enhance-scope", default="auto",
                    choices=["full", "vad", "auto"],
                    help="'vad' denoises only the VAD input (keeps speaker "
@@ -83,8 +84,10 @@ def build_config(args: argparse.Namespace):
             return config_from_dict(json.load(f))
     return DiarizationConfig(
         enhance=EnhanceConfig(
-            enabled=bool(getattr(args, "enhance", None)),
-            backend=getattr(args, "enhance", None) or "gtcrn",
+            enabled=getattr(args, "enhance", None) != "off",
+            backend=(getattr(args, "enhance", None)
+                     if getattr(args, "enhance", None) not in (None, "off")
+                     else "gtcrn"),
             scope=getattr(args, "enhance_scope", "auto"),
             weights=getattr(args, "enhance_weights", None),
         ),

@@ -141,16 +141,25 @@ class DiarizationPipeline:
         if enhance_fn is None and self.cfg.enhance.enabled:
             # the enhancement-before-diarization stage the reference left
             # commented out (diarization_baseline.py:333-338) — first-class here
-            from .enhance import make_enhance_fn
+            from .enhance import default_weights_path, make_enhance_fn
 
             e = self.cfg.enhance
-            kwargs = (
-                {"chunk_s": e.chunk_s, "overlap_s": e.overlap_s}
-                if e.backend == "gtcrn"
-                else {"window_s": e.window_s, "hop_ratio": e.hop_ratio,
-                      "batch_size": e.batch_size}
-            )
-            enhance_fn = make_enhance_fn(e.backend, weights=e.weights, **kwargs)
+            if e.weights is None and default_weights_path(e.backend) is None:
+                # default-on config, nothing trained shipped: random-weight
+                # 'denoising' is worse than none — drop the stage loudly
+                log.warning(
+                    "enhance: enabled but no trained %s weights ship — "
+                    "stage disabled (pass EnhanceConfig.weights to force)",
+                    e.backend)
+            else:
+                kwargs = (
+                    {"chunk_s": e.chunk_s, "overlap_s": e.overlap_s}
+                    if e.backend == "gtcrn"
+                    else {"window_s": e.window_s, "hop_ratio": e.hop_ratio,
+                          "batch_size": e.batch_size}
+                )
+                enhance_fn = make_enhance_fn(e.backend, weights=e.weights,
+                                             **kwargs)
         self.enhance_fn = enhance_fn
 
     # ------------------------------------------------------------------ io --
@@ -263,11 +272,15 @@ class DiarizationPipeline:
 
     def _estimate_snr_db(self, yd: jnp.ndarray, n_valid: int) -> float:
         """Cheap noise-floor probe for ``EnhanceConfig.scope == 'auto'``:
-        10·log10(p90/p10) of 50 ms frame energies over the valid samples.
-        Speech-with-gaps puts p10 on the inter-turn floor and p90 on speech,
-        so the ratio tracks SNR; digital-silence gaps give a huge ratio
-        (clean ⇒ enhancement skipped).  One tiny dispatch + scalar pull per
-        file; compiles once per pad bucket (fixed shapes)."""
+        10·log10(p95/p05) of 50 ms frame energies over the valid samples.
+        Speech-with-gaps puts p05 on the inter-turn floor and p95 on speech
+        peaks, so the ratio tracks SNR; digital-silence gaps give a huge
+        ratio (clean ⇒ enhancement skipped).  The tail percentiles matter:
+        p90/p10 mixes mid-speech frames into both ends and measured as low
+        as 17.5 dB on CLEAN conversations, while p95/p05 separates clean
+        (38.6–61 dB) from noisy (8.9–16.9 dB) across every synthesis domain
+        (measured 2026-08-18).  One tiny dispatch + scalar pull per file;
+        compiles once per pad bucket (fixed shapes)."""
         if not hasattr(self, "_snr_jit"):
             frame = self._SNR_FRAME
 
@@ -277,8 +290,8 @@ class DiarizationPipeline:
                 idx = jnp.arange(e.shape[0])
                 valid = (idx + 1) * frame <= n
                 e = jnp.where(valid, e, jnp.nan)
-                return (jnp.nanpercentile(e, 10.0),
-                        jnp.nanpercentile(e, 90.0))
+                return (jnp.nanpercentile(e, 5.0),
+                        jnp.nanpercentile(e, 95.0))
 
             self._snr_jit = jax.jit(stats)
         p10, p90 = self._snr_jit(yd, jnp.int32(n_valid))

@@ -174,6 +174,20 @@ def enhance_batch(
     return written
 
 
+def default_weights_path(backend: str):
+    """Shipped default checkpoint for ``backend`` (None when nothing ships).
+    Lets callers that auto-enable enhancement verify a TRAINED net exists
+    instead of silently engaging a random-weight 'denoiser'."""
+    from pathlib import Path
+
+    wroot = Path(__file__).resolve().parents[2] / "weights"
+    names = {
+        "gtcrn": ("gtcrn_mc.npz", "gtcrn_synthetic.npz"),
+        "zipenhancer": ("zipenhancer_mc.npz", "zipenhancer_synthetic.npz"),
+    }.get(backend, ())
+    return next((wroot / n for n in names if (wroot / n).exists()), None)
+
+
 def make_enhance_fn(backend: str, params=None, weights=None, **kwargs) -> Callable:
     """Factory for the pipeline's ``enhance_fn`` slot (the latent
     enhancement-before-diarization stage the reference left commented out at
@@ -192,23 +206,19 @@ def make_enhance_fn(backend: str, params=None, weights=None, **kwargs) -> Callab
 
             from ..models.port import load_params_npz
 
-            wroot = Path(__file__).resolve().parents[2] / "weights"
             # prefer the multi-condition retrain (babble/reverb beds): it
             # beats the r1 synthetic weights on BOTH noise families
             # (r1-family 8.77 vs 8.29 dB SI-SNR, mc-family 11.3 vs 8.29)
-            default = next((wroot / n for n in ("gtcrn_mc.npz",
-                                                "gtcrn_synthetic.npz")
-                            if (wroot / n).exists()),
-                           wroot / "gtcrn_synthetic.npz")
-            if default.exists():
+            default = default_weights_path("gtcrn")
+            if default is not None:
                 log.info("gtcrn: using shipped trained weights %s", default)
                 params = load_params_npz(default)
             else:
                 log.warning(
-                    "gtcrn: no weights given and %s missing — using RANDOM "
+                    "gtcrn: no weights given and none shipped — using RANDOM "
                     "weights; 'enhanced' audio will be garbage. Port the DNS3 "
                     "checkpoint (models/port.load_gtcrn_checkpoint) or train "
-                    "(train/recipes.train_gtcrn_synthetic).", default)
+                    "(train/recipes.train_gtcrn_synthetic).")
                 from ..models.gtcrn import gtcrn_init_params
 
                 params = gtcrn_init_params(jax.random.PRNGKey(0))
