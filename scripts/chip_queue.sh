@@ -68,9 +68,11 @@ stage eval_proto3_envad env SDTPU_EVAL_ENHANCE=gtcrn SDTPU_EVAL_ENHANCE_SCOPE=va
   --enc-weights weights/ecapa_proto3_stream.npz \
   --domains heldout-babble15,heldout-babble5,heldout-white10
 
-# 5. powerset segmentation head training (pyannote-3.x formulation).
+# 5. powerset segmentation head training (pyannote-3.x formulation) —
+#    warm-started from the CPU 1500-step checkpoint if present.
 stage seg_powerset python scripts/train_mc.py segmentation --powerset \
-  --steps 3000 --out weights/segmentation_powerset.npz
+  --steps 4000 --src weights/segmentation_powerset.npz \
+  --out weights/segmentation_powerset.npz
 
 # 6. segmentation quality eval (frame + overlap-aware pipeline DER).
 stage eval_seg python scripts/eval_segmentation.py \

@@ -61,6 +61,8 @@ def main() -> None:
                     help="segmentation: train the pyannote-3.x powerset "
                          "multiclass head (PIT-CE) instead of multilabel "
                          "sigmoids")
+    ap.add_argument("--seg-channels", type=int, default=96)
+    ap.add_argument("--seg-hidden", type=int, default=96)
     args = ap.parse_args()
 
     if args.cpu:
@@ -116,6 +118,15 @@ def main() -> None:
         if not args.cold and src.exists():
             from speech_diarization_tpu.models.port import load_params_meta
 
+            src_meta = (load_params_meta(src) or {}).get("net", {})
+            if (src_meta.get("channels", 96) != args.seg_channels
+                    or src_meta.get("hidden", 96) != args.seg_hidden):
+                print(f"segmentation: src geometry {src_meta} != requested "
+                      f"{args.seg_channels}/{args.seg_hidden} — cold start")
+                args.cold = True
+        if not args.cold and src.exists():
+            from speech_diarization_tpu.models.port import load_params_meta
+
             init = recipes.load_segmentation_weights(src)
             src_powerset = (load_params_meta(src) or {}).get(
                 "net", {}).get("powerset", False)
@@ -138,6 +149,8 @@ def main() -> None:
             example_fn=partial(make_segmentation_example_mc, channels=channels),
             init_params=init,
             powerset=args.powerset,
+            channels=args.seg_channels,
+            hidden=args.seg_hidden,
         )
         print(f"segmentation mc done in {time.time()-t0:.0f}s: "
               f"best-perm acc {metrics['frame_accuracy']:.4f} -> {out}")
