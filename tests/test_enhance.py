@@ -238,3 +238,43 @@ class TestAutoScope:
         noisy = self._speech_like(noise_rms=0.05)
         wave, vad_wave, _ = pipe._load_waves((noisy, sr))
         assert not np.allclose(np.asarray(wave), np.asarray(vad_wave))
+
+    @pytest.mark.slow
+    def test_probe_separates_synthesis_domains(self):
+        """The p95/p05 statistic must keep clean/reverb domains above the
+        auto threshold and noise domains below it (the measured separation
+        the 25 dB default rests on); a generator or probe change that
+        collapses the gap should fail here, not in production."""
+        from speech_diarization_tpu.train.heldout import (
+            make_conversation_heldout,
+        )
+        from speech_diarization_tpu.train.synthetic import make_conversation
+
+        pipe = self._make_pipe(enabled=False)
+        sr, dur = 16000, 60.0
+        thr = 25.0
+
+        def snr(y):
+            t = len(y)
+            pad = max(60 * sr, -(-t // (60 * sr)) * 60 * sr)
+            yd = jnp.asarray(np.pad(np.asarray(y, np.float32), (0, pad - t)))
+            return pipe._estimate_snr_db(yd, t)
+
+        g = lambda s: np.random.default_rng(s)
+        clean = [
+            make_conversation(g(11), dur, n_speakers=3)[0],
+            make_conversation_heldout(g(12), dur, n_speakers=3)[0],
+            make_conversation_heldout(g(13), dur, n_speakers=3, rt60_s=0.6)[0],
+        ]
+        noisy = [
+            make_conversation_heldout(g(14), dur, n_speakers=3,
+                                      snr_db=10.0, noise_kind="white")[0],
+            make_conversation_heldout(g(15), dur, n_speakers=3,
+                                      snr_db=15.0, noise_kind="babble")[0],
+            make_conversation_heldout(g(16), dur, n_speakers=3,
+                                      snr_db=5.0, noise_kind="babble")[0],
+        ]
+        for y in clean:
+            assert snr(y) > thr + 5.0
+        for y in noisy:
+            assert snr(y) < thr - 5.0
