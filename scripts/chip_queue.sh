@@ -30,7 +30,7 @@ stage() {
 # 0. stop the CPU-bound gtcrn fallback run, if still alive: the chip does
 #    the same 1500 steps in minutes (stage 2) and the freed core unblocks
 #    the tunnel client (CPU contention inflates dispatch ~8x).
-for pidf in /tmp/train_gtcrn.pid /tmp/train_seg.pid; do
+for pidf in /tmp/train_gtcrn.pid /tmp/train_seg.pid /tmp/train_demix.pid; do
   if [ -f "$pidf" ] && kill -0 "$(cat "$pidf")" 2>/dev/null; then
     kill "$(cat "$pidf")"
     echo "[chipq] stopped CPU fallback run $pidf ($(cat "$pidf"))"
@@ -78,9 +78,14 @@ stage seg_powerset python scripts/train_mc.py segmentation --powerset \
 stage eval_seg python scripts/eval_segmentation.py \
   --weights weights/segmentation_powerset.npz
 
+# 6.5 zipenhancer multi-condition retrain (babble beds; cheap on chip).
+stage zipenhancer python scripts/train_mc.py zipenhancer --steps 600 \
+  --out weights/zipenhancer_mc.npz
+
 # 7. scaled demixer retrain on chip (SIGILL root cause fixed = boot-id
 #    cache keying; if the backward still dies this log is the evidence).
-stage demix python scripts/train_mc.py demix --steps 800
+stage demix python scripts/train_mc.py demix --steps 800 \
+  --out weights/demix_mc.npz
 
 # 8. full bench refresh (RTF + DER + corpus + MFU + fbank) — last, so the
 #    artifact reflects the final shipped weights.

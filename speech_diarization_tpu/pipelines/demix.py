@@ -60,12 +60,15 @@ class EnsembleDemixer:
     ):
         self.model = model or DialogDemixer()
         if param_sets is None:
-            default = (Path(__file__).resolve().parents[2]
-                       / "weights" / "demix_synthetic.npz")
+            wroot = Path(__file__).resolve().parents[2] / "weights"
+            default = next((wroot / n for n in ("demix_mc.npz",
+                                                "demix_synthetic.npz")
+                            if (wroot / n).exists()),
+                           wroot / "demix_synthetic.npz")
             if model is None and default.exists():
                 from ..train.recipes import load_demixer
 
-                log.info("demix: using shipped synthetic-trained weights %s "
+                log.info("demix: using shipped trained weights %s "
                          "(ensemble of 1)", default)
                 self.model, params = load_demixer(default)
                 param_sets = [params]
