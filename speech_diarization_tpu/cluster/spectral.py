@@ -279,6 +279,19 @@ def refine_labels_by_windows(
     reference's agglomerative threshold semantics
     (``diarization_baseline.py:176-181``).  Each member segment follows the
     majority side of its own windows, so segments stay atomic.
+
+    Measured limits of the statistic at 60 s (24-seed truth-labeled probe,
+    2026-08-18; STATUS.md "60 s tail"): the sub-centroid cosine bands
+    overlap at the margins — true-merged pairs reach 0.82 while drifting
+    singles dip to 0.63 — and no structural side-statistic separates them
+    (split segment-purity: singles reach 1.0, merged dip to 0.71;
+    temporal alternation: both span 0.0-1.0).  The worst 60 s tail cases
+    are not even clustering failures: their SEGMENTS are truth-impure
+    (SCD missed a change between near-collided voices), which no
+    label-level refinement can fix.  At 600 s the window statistics
+    tighten and the absolute threshold separates cleanly (0.21% corpus
+    DER), so the rule stays: absolute threshold, per-encoder calibration
+    via npz meta (scripts/calibrate_bisect.py --write).
     """
     labels = np.asarray(labels, np.int32).copy()
     if len(labels) == 0 or win_embs.shape[0] == 0:
