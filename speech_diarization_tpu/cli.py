@@ -32,7 +32,7 @@ def _add_common_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--min-speech-ms", type=float, default=250.0)
     p.add_argument("--min-silence-ms", type=float, default=100.0)
     p.add_argument("--speech-pad-ms", type=float, default=40.0)
-    p.add_argument("--scd-threshold", type=float, default=1.5)
+    p.add_argument("--scd-threshold", type=float, default=1.0)
     p.add_argument("--no-scd", action="store_true")
     p.add_argument("--cluster-method", default="spectral",
                    choices=["spectral", "ahc", "hdbscan", "hdbscan2"])

@@ -314,6 +314,14 @@ def refine_labels_by_windows(
     inside = valid & (wstart + win_s <= ends[cand] + 1e-9)
     seg_of_win[inside] = cand[inside]
 
+    # NOTE on membership (measured 2026-08-18): extending membership to
+    # windows inside merged same-cluster SPANS (>=80% speech overlap, to
+    # recover the cross-SCD-cut windows that same-speaker merging would own)
+    # was tried and measured strictly WORSE — the added boundary windows
+    # blur a true merged pair's modes (seed 2010: sub-cos 0.682 -> 0.794,
+    # further from splitting) and reintroduce the drifting-single over-split
+    # (seed 2005 @ scd z=1.0: 0.52% -> 16.5% DER).  Per-segment fully-inside
+    # stays.
     changed = True
     while changed and labels.max() + 1 < max_speakers:
         changed = False

@@ -65,7 +65,13 @@ class ScdConfig:
     enabled: bool = True
     win_ms: float = 1000.0
     hop_ms: float = 200.0
-    peak_z_threshold: float = 1.5
+    # z=1.0 (was 1.5): over-segmentation is benign (same-speaker merging
+    # stitches the atoms back), while missed changes are fatal (an impure
+    # segment can never be fixed downstream).  Measured on the 60 s 3-spk
+    # tail seeds: z=1.0 dissolves a drifting-single over-split (seed 2005
+    # 15.8% -> 0.5% DER), leaves 15 other seeds and the 600 s file within
+    # noise (STATUS.md "60 s tail", /tmp scd sweeps 2026-08-18)
+    peak_z_threshold: float = 1.0
     min_speech_ms: float = 1000.0
 
 

@@ -107,7 +107,7 @@ def build_ui():
                 min_sil = gr.Slider(30, 500, 100, step=10, label="min silence (ms)")
                 pad = gr.Slider(0, 200, 40, step=10, label="speech pad (ms)")
             with gr.Row():
-                scd_thr = gr.Slider(0.3, 2.0, 1.5, step=0.01, label="SCD z threshold")
+                scd_thr = gr.Slider(0.3, 2.0, 1.0, step=0.01, label="SCD z threshold")
                 method = gr.Dropdown(["spectral", "ahc", "hdbscan", "hdbscan2"],
                                      value="spectral", label="clustering")
                 max_spk = gr.Slider(1, 10, 8, step=1, label="max speakers")
