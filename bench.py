@@ -105,7 +105,9 @@ def probe_device_or_fallback() -> str:
     line."""
     import subprocess
 
-    budget = float(os.environ.get("SDTPU_BENCH_PROBE_S", "300"))
+    # above the documented 2-8 min healthy axon first contact — a healthy
+    # slow tunnel must not be misclassified as an outage
+    budget = float(os.environ.get("SDTPU_BENCH_PROBE_S", "600"))
     try:
         subprocess.run(
             [sys.executable, "-c", "import jax; assert jax.devices()"],
@@ -241,7 +243,7 @@ def main() -> None:
         f"{len(result.segments)} segments, {result.num_speakers} speakers, "
         f"der {full_der:.2f}%")
     emit(FULL_S / warm_f, f"{int(FULL_S)}s_warmup_incl_compile",
-         {"der_pct": full_der})
+         {"der_pct": full_der, "platform": platform_tag})
 
     times = []
     for _ in range(2):

@@ -128,6 +128,7 @@ def main() -> None:
                 # cluster's windows; below that it's labeling noise, not a
                 # collapsed pair the bisection should split
                 rows.append({
+                    "domain": domain,
                     "n_spk": n_spk, "file": i, "cluster": int(c),
                     "windows": int(wmask.sum()),
                     "sub_cos": round(float(sub_cos), 4),
@@ -168,7 +169,7 @@ def main() -> None:
                 thr = round(max(smin - 0.05, 0.0), 4)
         from speech_diarization_tpu.models.port import update_params_meta
 
-        meta = update_params_meta(args.enc, refine_sub_cos=thr)
+        update_params_meta(args.enc, refine_sub_cos=thr)
         print(json.dumps({"written": args.enc, "refine_sub_cos": thr,
                           "n_single": len(single), "n_merged": len(merged)}))
 

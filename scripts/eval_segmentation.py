@@ -40,9 +40,6 @@ def frame_eval(weights: Path, n_batches: int, batch: int, seed: int):
     import jax
     import jax.numpy as jnp
 
-    from speech_diarization_tpu.models.segmentation import (
-        best_permutation_accuracy,
-    )
     from speech_diarization_tpu.train.multicond import (
         make_segmentation_example_mc,
     )
@@ -63,22 +60,23 @@ def frame_eval(weights: Path, n_batches: int, batch: int, seed: int):
             act = np.asarray(act_fn(jnp.asarray(wavs)))
             n = min(act.shape[1], labels.shape[1])
             act, labels = act[:, :n], labels[:, :n]
-            accs.append(best_permutation_accuracy(act, labels))
-            # overlapped frames: >=2 slots truly active
-            ov = (labels > 0.5).sum(-1) >= 2  # [B, T]
-            ov_frac.append(float(ov.mean()))
-            if ov.any():
-                # accuracy restricted to overlapped frames, best-perm chosen
-                # on ALL frames (the deployment permutation)
-                import itertools
+            # one permutation enumeration serves both metrics: best-perm
+            # chosen on ALL frames (the deployment permutation), overlap
+            # accuracy read off the same permutation
+            import itertools
 
-                k = act.shape[-1]
-                best_all, best_ov = 0.0, 0.0
-                for perm in itertools.permutations(range(k)):
-                    ok = (act[..., list(perm)] > 0.5) == (labels > 0.5)
-                    a_all = float(ok.mean())
-                    if a_all > best_all:
-                        best_all, best_ov = a_all, float(ok[ov].mean())
+            ov = (labels > 0.5).sum(-1) >= 2  # >=2 slots truly active [B, T]
+            ov_frac.append(float(ov.mean()))
+            k = act.shape[-1]
+            best_all, best_ov = 0.0, 0.0
+            for perm in itertools.permutations(range(k)):
+                ok = (act[..., list(perm)] > 0.5) == (labels > 0.5)
+                a_all = float(ok.mean())
+                if a_all > best_all:
+                    best_all = a_all
+                    best_ov = float(ok[ov].mean()) if ov.any() else 0.0
+            accs.append(best_all)
+            if ov.any():
                 ov_accs.append(best_ov)
         out[name] = {
             "best_perm_acc": round(float(np.mean(accs)), 4),

@@ -137,7 +137,9 @@ def main() -> None:
 
                 from speech_diarization_tpu.models.segmentation import SegNet
 
-                fresh = SegNet(powerset=True).init(_jax.random.PRNGKey(args.seed))
+                fresh = SegNet(powerset=True, channels=args.seg_channels,
+                               hidden=args.seg_hidden).init(
+                    _jax.random.PRNGKey(args.seed))
                 init["out_w"], init["out_b"] = fresh["out_w"], fresh["out_b"]
         out = args.out or wroot / "segmentation_mc.npz"
         params, metrics = recipes.train_segmentation_synthetic(

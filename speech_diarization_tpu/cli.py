@@ -132,14 +132,14 @@ def build_pipeline_kwargs(args: argparse.Namespace) -> dict:
 
         weights = args.vad_weights
         if weights is None:
-            wdir = Path(__file__).resolve().parents[1] / "weights"
+            from .utils.weights import prefer_weights
+
             # prefer the multi-condition conv TCN (robust to noise/reverb/
             # out-of-family speech, eval_vad.py), then the in-domain conv
             # net; the GRU net remains the Silero-parity/streaming backend
-            shipped = next((wdir / n for n in ("vad_conv_mc.npz",
-                                               "vad_conv_synthetic.npz",
-                                               "vad_synthetic.npz")
-                            if (wdir / n).exists()), None)
+            shipped = prefer_weights(("vad_conv_mc.npz",
+                                      "vad_conv_synthetic.npz",
+                                      "vad_synthetic.npz"))
             weights = str(shipped) if shipped else None
         if weights:
             model, params = load_vad(weights)

@@ -65,13 +65,12 @@ class Diarizer:
             from .segmentation import SegmentationConfig
 
             model = SegmentationModel()
-            wroot = Path(__file__).resolve().parents[2] / "weights"
-            seg_weights = seg_weights or next(
-                (wroot / n for n in ("segmentation_powerset.npz",
-                                     "segmentation_mc.npz",
-                                     "segmentation_synthetic.npz")
-                 if (wroot / n).exists()),
-                wroot / "segmentation_synthetic.npz")
+            from ..utils.weights import WEIGHTS_ROOT, prefer_weights
+
+            seg_weights = seg_weights or prefer_weights(
+                ("segmentation_powerset.npz", "segmentation_mc.npz",
+                 "segmentation_synthetic.npz")
+            ) or WEIGHTS_ROOT / "segmentation_synthetic.npz"
             if Path(seg_weights).exists():
                 from ..train.recipes import load_segmentation
 

@@ -60,12 +60,10 @@ class EnsembleDemixer:
     ):
         self.model = model or DialogDemixer()
         if param_sets is None:
-            wroot = Path(__file__).resolve().parents[2] / "weights"
-            default = next((wroot / n for n in ("demix_mc.npz",
-                                                "demix_synthetic.npz")
-                            if (wroot / n).exists()),
-                           wroot / "demix_synthetic.npz")
-            if model is None and default.exists():
+            from ..utils.weights import prefer_weights
+
+            default = prefer_weights(("demix_mc.npz", "demix_synthetic.npz"))
+            if model is None and default is not None:
                 from ..train.recipes import load_demixer
 
                 log.info("demix: using shipped trained weights %s "

@@ -280,7 +280,14 @@ class DiarizationPipeline:
         as 17.5 dB on CLEAN conversations, while p95/p05 separates clean
         (38.6–61 dB) from noisy (8.9–16.9 dB) across every synthesis domain
         (measured 2026-08-18).  One tiny dispatch + scalar pull per file;
-        compiles once per pad bucket (fixed shapes)."""
+        compiles once per pad bucket (fixed shapes).
+
+        Known limits of the cheap statistic: a noise-gated recording
+        (digitally zeroed gaps around noisy speech) measures a huge ratio
+        and skips denoising — same behavior as the old always-off default,
+        so nothing regresses; pause-free continuous speech can measure low
+        and engage needlessly — harmless, since vad-scope denoising leaves
+        embeddings on the raw signal (measured DER-neutral on clean files)."""
         if not hasattr(self, "_snr_jit"):
             frame = self._SNR_FRAME
 

@@ -178,14 +178,12 @@ def default_weights_path(backend: str):
     """Shipped default checkpoint for ``backend`` (None when nothing ships).
     Lets callers that auto-enable enhancement verify a TRAINED net exists
     instead of silently engaging a random-weight 'denoiser'."""
-    from pathlib import Path
+    from ..utils.weights import prefer_weights
 
-    wroot = Path(__file__).resolve().parents[2] / "weights"
-    names = {
+    return prefer_weights({
         "gtcrn": ("gtcrn_mc.npz", "gtcrn_synthetic.npz"),
         "zipenhancer": ("zipenhancer_mc.npz", "zipenhancer_synthetic.npz"),
-    }.get(backend, ())
-    return next((wroot / n for n in names if (wroot / n).exists()), None)
+    }.get(backend, ()))
 
 
 def make_enhance_fn(backend: str, params=None, weights=None, **kwargs) -> Callable:
@@ -229,22 +227,21 @@ def make_enhance_fn(backend: str, params=None, weights=None, **kwargs) -> Callab
 
         model = ZipEnhancerModel()
         if params is None:
-            from pathlib import Path
-
             from ..models.port import load_params_npz
 
-            default = (Path(__file__).resolve().parents[2]
-                       / "weights" / "zipenhancer_synthetic.npz")
-            if default.exists():
-                log.info("zipenhancer: using shipped synthetic-trained "
-                         "weights %s", default)
+            # same preference list as default_weights_path — the pipeline's
+            # trained-weights guard and this loader must agree
+            default = default_weights_path("zipenhancer")
+            if default is not None:
+                log.info("zipenhancer: using shipped trained weights %s",
+                         default)
                 params = load_params_npz(default)
             else:
                 log.warning(
-                    "zipenhancer: no weights given and %s missing — using "
+                    "zipenhancer: no weights given and none shipped — using "
                     "RANDOM weights; 'enhanced' audio will be garbage. Train "
                     "via train/recipes.train_zipenhancer_synthetic or port a "
-                    "checkpoint.", default)
+                    "checkpoint.")
                 params = model.init(jax.random.PRNGKey(0))
         fwd = jax.jit(partial(model.apply, params))
         return lambda y: jnp.asarray(windowed_enhance(fwd, y, **kwargs))

@@ -152,10 +152,10 @@ class TestTrainedEnhancement:
         import logging
 
         from speech_diarization_tpu.pipelines import enhance as enh_mod
+        from speech_diarization_tpu.utils import weights as weights_mod
 
-        # point the default path somewhere empty
-        monkeypatch.setattr(
-            enh_mod, "__file__", str(tmp_path / "pkg" / "pipelines" / "enhance.py"))
+        # point the shared weights root somewhere empty
+        monkeypatch.setattr(weights_mod, "WEIGHTS_ROOT", tmp_path / "none")
         self._propagate_sdtpu(monkeypatch)
         with caplog.at_level(logging.WARNING, logger="sdtpu.enhance"):
             enh_mod.make_enhance_fn("gtcrn")
