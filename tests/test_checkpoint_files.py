@@ -126,6 +126,7 @@ class TestOnnxCheckpointFiles:
 # GTCRN model_trained_on_dns3.tar
 # --------------------------------------------------------------------------
 
+@pytest.mark.slow
 class TestGtcrnTarFile:
     @pytest.fixture(scope="class")
     def tar_path(self, tmp_path_factory):
@@ -170,6 +171,7 @@ class TestGtcrnTarFile:
 # ZipEnhancer ModelScope bin from disk
 # --------------------------------------------------------------------------
 
+@pytest.mark.slow
 class TestZipEnhancerBinFile:
     def test_load_from_disk_bin(self, tmp_path):
         from speech_diarization_tpu.models.port_zipenhancer import (

@@ -145,6 +145,7 @@ class TestEcapa:
         sim_diff = norm[0] @ norm[2]
         assert sim_same > sim_diff
 
+    @pytest.mark.slow
     def test_full_size_param_count(self):
         net = EcapaTdnn()
         params = net.init(jax.random.PRNGKey(0))

@@ -106,6 +106,7 @@ class TestPowersetHead:
                                           jnp.asarray(target))) < \
             float(powerset_pit_ce_loss(jnp.asarray(bad), jnp.asarray(target)))
 
+    @pytest.mark.slow
     def test_meta_roundtrip(self, tmp_path):
         from speech_diarization_tpu.train.recipes import (
             load_segmentation, train_segmentation_synthetic,
