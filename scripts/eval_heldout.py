@@ -100,13 +100,15 @@ def build_pipeline(cpu_dtype: bool, enc_weights: str | None = None,
         cluster=ClusterConfig(
             method="spectral", max_speakers=8,
             refine_splits=os.environ.get("SDTPU_EVAL_REFINE", "1") == "1"),
-        # SDTPU_EVAL_ENHANCE=gtcrn|zipenhancer switches on the denoise
-        # front-end (the reference's latent enhancement-before-diarization
-        # stage) — the honest fix for the noise-domain failures
+        # mirrors the production default (noise-adaptive vad-scope denoise).
+        # SDTPU_EVAL_ENHANCE=off disables; =gtcrn|zipenhancer forces a
+        # backend; SDTPU_EVAL_ENHANCE_SCOPE=full|vad|auto picks the scope.
         enhance=EnhanceConfig(
-            enabled=bool(os.environ.get("SDTPU_EVAL_ENHANCE")),
-            backend=os.environ.get("SDTPU_EVAL_ENHANCE") or "gtcrn",
-            scope=os.environ.get("SDTPU_EVAL_ENHANCE_SCOPE", "full"),
+            enabled=os.environ.get("SDTPU_EVAL_ENHANCE") != "off",
+            backend=(os.environ.get("SDTPU_EVAL_ENHANCE")
+                     if os.environ.get("SDTPU_EVAL_ENHANCE") not in (None, "off")
+                     else "gtcrn"),
+            scope=os.environ.get("SDTPU_EVAL_ENHANCE_SCOPE", "auto"),
             weights=os.environ.get("SDTPU_EVAL_ENHANCE_WEIGHTS")))
     return DiarizationPipeline(cfg, encoder=(model, params),
                                vad_probs_fn=vad_fn), enc_w.name, (vad_w.name if vad_w else None)
