@@ -84,7 +84,11 @@ stage zipenhancer python scripts/train_mc.py zipenhancer --steps 600 \
 
 # 7. scaled demixer retrain on chip (SIGILL root cause fixed = boot-id
 #    cache keying; if the backward still dies this log is the evidence).
-stage demix python scripts/train_mc.py demix --steps 800 \
+#    The CPU fallback run reached +4.56 dB in 800 steps (vs r1's +3.6 from
+#    a 9x smaller net); the 29M-param net is undertrained — give it 3000
+#    chip steps.  NOTE: demix_mc.npz is gitignored (117 MB) until quality
+#    justifies shipping (f16 + ship when >= +8 dB).
+stage demix python scripts/train_mc.py demix --steps 3000 \
   --out weights/demix_mc.npz
 
 # 8. full bench refresh (RTF + DER + corpus + MFU + fbank) — last, so the
