@@ -30,7 +30,8 @@ stage() {
 # 0. stop the CPU-bound gtcrn fallback run, if still alive: the chip does
 #    the same 1500 steps in minutes (stage 2) and the freed core unblocks
 #    the tunnel client (CPU contention inflates dispatch ~8x).
-for pidf in /tmp/train_gtcrn.pid /tmp/train_seg.pid /tmp/train_demix.pid; do
+for pidf in /tmp/train_gtcrn.pid /tmp/train_seg.pid /tmp/train_demix.pid \
+            /tmp/train_proto_small.pid; do
   if [ -f "$pidf" ] && kill -0 "$(cat "$pidf")" 2>/dev/null; then
     kill "$(cat "$pidf")"
     echo "[chipq] stopped CPU fallback run $pidf ($(cat "$pidf"))"
