@@ -42,10 +42,13 @@ done
 # 1. proto3 encoder: the fixed-crest-factor multi-condition retrain
 #    (competing speech 0.3, channel 0.7, snr floor 5 dB) — the encoder is
 #    the sole remaining accuracy axis on held-out domains (STATUS.md).
-stage proto3 python scripts/train_mc.py encoder-proto \
+#    COLD start: the 128-ch CPU validation run (ecapa_proto_small, cold,
+#    2500 steps) crushed both warm-started full-size encoders on every
+#    held-out domain (dry 1.5% vs 44-54%) — warm-starting from proto2
+#    anchors to broken-crest features.
+stage proto3 python scripts/train_mc.py encoder-proto --cold --full-size \
   --steps 4000 --spk-batch 16 --competing-p 0.3 --channel-p 0.7 \
-  --snr-floor 5 --src weights/ecapa_proto2_stream.npz \
-  --out weights/ecapa_proto3_stream.npz
+  --snr-floor 5 --out weights/ecapa_proto3_stream.npz
 
 # 2. gtcrn multi-condition retrain on chip (babble beds; supersedes the
 #    1-core CPU run).

@@ -63,6 +63,9 @@ def main() -> None:
                          "sigmoids")
     ap.add_argument("--seg-channels", type=int, default=96)
     ap.add_argument("--seg-hidden", type=int, default=96)
+    ap.add_argument("--full-size", action="store_true",
+                    help="encoder-proto --cold: train the production-size "
+                         "EcapaTdnn instead of the 128-ch proto default")
     args = ap.parse_args()
 
     if args.cpu:
@@ -261,6 +264,12 @@ def main() -> None:
         if not args.cold and src.exists():
             model, init = recipes.load_speaker_encoder(src)
             net = model.net
+        elif args.full_size:
+            # cold full-size: the production EcapaTdnn geometry (512 ch,
+            # emb 192) instead of the proto recipe's 128-ch default
+            from speech_diarization_tpu.models.ecapa import EcapaTdnn
+
+            net = EcapaTdnn()
         out = args.out or wroot / "ecapa_proto_stream.npz"
         params, metrics = train_speaker_encoder_proto(
             steps=args.steps or 2000,
