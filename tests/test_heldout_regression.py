@@ -55,13 +55,10 @@ def _score(pipe, wave, truth):
 def test_heldout_dry_der_under_15pct():
     """The robust encoder + MC VAD on UNSEEN LPC voices.
 
-    RE-BASELINED 2026-08-17: the heldout generator's phone-level RMS
-    normalization fix (synth_voice_lpc resonance-luck crest factor — most
-    'speech' frames were effectively -75 dB silence before) changed the
-    domain; proto2 measures 30.1% on the realistic synthesis (its training
-    data had the same defect).  Gate loosely until the retrained encoder
-    lands, to still catch catastrophic (>45%, i.e. speaker-collapse)
-    regressions; re-pin tight after proto3."""
+    RE-PINNED 2026-08-18: the mixed-family cold-trained encoder
+    (ecapa_proto_small) measures 1.5% mean on this domain (was 30-45%
+    for the broken-crest-warm-started encoders) — gate at 10% so sample
+    noise passes but any return of the confusion failure mode fails."""
     from speech_diarization_tpu.train.heldout import make_conversation_heldout
 
     pipe = _pipeline(PROTO, MC_VAD)
@@ -71,7 +68,7 @@ def test_heldout_dry_der_under_15pct():
         wave, truth = make_conversation_heldout(rng, 60.0, n_speakers=3,
                                                 sr=16000)
         ders.append(_score(pipe, wave, truth))
-    assert float(np.mean(ders)) < 0.45, ders
+    assert float(np.mean(ders)) < 0.10, ders
 
 
 @pytest.mark.skipif(not R1.exists() or not MC_VAD.exists(),
