@@ -42,13 +42,21 @@ def load_gtcrn_checkpoint(path: str | Path) -> dict[str, jnp.ndarray]:
 def save_params_npz(
     params: Mapping[str, jnp.ndarray], path: str | Path,
     meta: dict | None = None,
+    store_dtype=None,
 ) -> None:
     """Framework-native checkpoint format: flat npz (no torch dependency).
     ``meta`` (a JSON-serializable dict, e.g. the architecture config) is
-    stored under the reserved ``__meta__`` key."""
+    stored under the reserved ``__meta__`` key.  ``store_dtype=np.float16``
+    halves on-disk size for shipped weights; :func:`load_params_npz` upcasts
+    f16 back to f32 transparently, so consumers never see the storage dtype."""
     import json
 
-    arrays = {k: np.asarray(v) for k, v in params.items()}
+    arrays = {}
+    for k, v in params.items():
+        a = np.asarray(v)
+        if store_dtype is not None and np.issubdtype(a.dtype, np.floating):
+            a = a.astype(store_dtype)
+        arrays[k] = a
     if meta is not None:
         arrays["__meta__"] = np.frombuffer(
             json.dumps(meta).encode(), dtype=np.uint8)
@@ -56,8 +64,19 @@ def save_params_npz(
 
 
 def load_params_npz(path: str | Path) -> dict[str, jnp.ndarray]:
+    """f16-stored floats (shipped-weight compression) upcast to f32 here so
+    every downstream consumer computes at full precision regardless of the
+    storage dtype."""
+    out: dict[str, jnp.ndarray] = {}
     with np.load(str(path)) as data:
-        return {k: jnp.asarray(data[k]) for k in data.files if k != "__meta__"}
+        for k in data.files:
+            if k == "__meta__":
+                continue
+            a = data[k]
+            if a.dtype == np.float16:
+                a = a.astype(np.float32)
+            out[k] = jnp.asarray(a)
+    return out
 
 
 def load_params_meta(path: str | Path) -> dict | None:

@@ -228,3 +228,51 @@ class TestEcapaCkptFile:
         assert rc == 0
         rttm = out / "conv.rttm"
         assert rttm.exists() and rttm.read_text().startswith("SPEAKER")
+
+
+# --------------------------------------------------------------------------
+# f16 checkpoint compression (shipped-weight size control)
+# --------------------------------------------------------------------------
+
+class TestF16Compression:
+    def test_save_f16_load_f32_roundtrip(self, tmp_path):
+        """store_dtype=float16 halves the bytes; load_params_npz upcasts so
+        consumers always see float32 (ints and __meta__ untouched)."""
+        from speech_diarization_tpu.models.port import (
+            load_params_meta, load_params_npz, save_params_npz,
+        )
+
+        rng = np.random.default_rng(0)
+        params = {
+            "w": rng.standard_normal((64, 64)).astype(np.float32),
+            "steps": np.array([3], dtype=np.int64),
+        }
+        p32, p16 = tmp_path / "w32.npz", tmp_path / "w16.npz"
+        save_params_npz(params, p32, meta={"net": {"emb_dim": 8}})
+        save_params_npz(params, p16, meta={"net": {"emb_dim": 8}},
+                        store_dtype=np.float16)
+        assert p16.stat().st_size < 0.6 * p32.stat().st_size
+
+        loaded = load_params_npz(p16)
+        assert loaded["w"].dtype == jnp.float32
+        assert jnp.issubdtype(loaded["steps"].dtype, jnp.integer)
+        np.testing.assert_allclose(np.asarray(loaded["w"]), params["w"],
+                                   rtol=1e-3, atol=1e-3)
+        assert load_params_meta(p16) == {"net": {"emb_dim": 8}}
+
+    def test_compress_script_preserves_meta_and_values(self, tmp_path):
+        from scripts.compress_weights import compress
+        from speech_diarization_tpu.models.port import (
+            load_params_meta, load_params_npz, save_params_npz,
+        )
+
+        rng = np.random.default_rng(1)
+        params = {"a": rng.standard_normal((128, 32)).astype(np.float32)}
+        path = tmp_path / "enc.npz"
+        save_params_npz(params, path, meta={"streaming_stats": True})
+        before, after, err = compress(path)
+        assert after < 0.6 * before and err < 1e-2
+        loaded = load_params_npz(path)
+        np.testing.assert_allclose(np.asarray(loaded["a"]), params["a"],
+                                   rtol=1e-3, atol=1e-3)
+        assert load_params_meta(path) == {"streaming_stats": True}
