@@ -5,7 +5,7 @@ compression is invisible to every consumer.  Integer arrays and the
 ``__meta__`` sidecar are preserved verbatim.
 
 Usage:
-    python scripts/compress_weights.py weights/ecapa_proto3_stream.npz [...]
+    python scripts/compress_weights.py weights/ecapa_proto_small.npz [...]
     python scripts/compress_weights.py --check weights/*.npz   # report only
 """
 from __future__ import annotations

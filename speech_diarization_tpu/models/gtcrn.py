@@ -119,8 +119,17 @@ def _gru_params(p: Params, prefix: str, suffix: str = "") -> GRUParams:
 def tra(p: Params, prefix: str, x: jax.Array) -> jax.Array:
     """Temporal recurrent attention: energy GRU gate over time
     (``gtcrn.py:77-93``)."""
-    zt = jnp.mean(x * x, axis=-1)  # [B, C, T]
-    seq = jnp.transpose(zt, (0, 2, 1))  # [B, T, C]
+    # Transpose BEFORE the frequency mean: the TPU AOT compiler folds a
+    # transpose into the [B,C,T,F]->[B,C,T] reduce and then mis-assigns the
+    # output layout in post-optimization ("expected f32[T,C], actual
+    # f32[C,T]{1,0:T(8,128)}"), aborting the whole enhance compile.  Reducing
+    # a [B,T,C,F] operand yields the [B,T,C] sequence the GRU consumes next,
+    # so no transpose exists for the buggy pass to fold.
+    xt = jnp.transpose(x, (0, 2, 1, 3))  # [B, T, C, F]
+    # the barrier stops the simplifier from commuting the transpose back
+    # through the reduce (it recreates the crashing pattern otherwise)
+    xt = jax.lax.optimization_barrier(xt)
+    seq = jnp.mean(xt * xt, axis=-1)  # [B, T, C]
     at, _ = gru_sequence(seq, _gru_params(p, f"{prefix}.att_gru"))
     at = at @ p[f"{prefix}.att_fc.weight"].T + p[f"{prefix}.att_fc.bias"]
     gate = jax.nn.sigmoid(jnp.transpose(at, (0, 2, 1)))  # [B, C, T]

@@ -21,8 +21,7 @@ pytestmark = pytest.mark.slow  # ~minutes on CPU; part of the full suite only
 
 WROOT = Path(__file__).resolve().parents[1] / "weights"
 PROTO = next((WROOT / n for n in
-              ("ecapa_proto3_stream.npz", "ecapa_proto_small.npz",
-               "ecapa_proto2_stream.npz")
+              ("ecapa_proto_small.npz", "ecapa_proto2_stream.npz")
               if (WROOT / n).exists()), None)
 R1 = WROOT / "ecapa_synthetic_full_stream.npz"
 MC_VAD = WROOT / "vad_conv_mc.npz"
