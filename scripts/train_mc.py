@@ -68,6 +68,22 @@ def main() -> None:
                          "EcapaTdnn instead of the 128-ch proto default")
     args = ap.parse_args()
 
+    import logging
+
+    logging.basicConfig(level=logging.INFO)  # recipes log step progress at INFO
+
+    if args.what == "demix":
+        # the U-Net backward SIGILLs XLA's SpaceToBatchConverter on the TPU
+        # AOT path (ConvolutionVisitor::PropagateOnUsers, 2026-08-18); the
+        # pass is a dilated-conv throughput optimization we can live without
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "space-to-batch-converter" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_disable_hlo_passes=space-to-batch-converter"
+            ).strip()
+
     if args.cpu:
         import jax
 

@@ -179,10 +179,21 @@ def powerset_pit_ce_loss(logits: jax.Array, target: jax.Array) -> jax.Array:
 
 
 def best_permutation_accuracy(pred: np.ndarray, target: np.ndarray) -> float:
-    """Frame accuracy after the best slot permutation (probe metric)."""
+    """Frame accuracy after the best slot permutation PER CHUNK (probe
+    metric).  Slot identity is only meaningful within one chunk — the PIT
+    loss lets every chunk pick its own assignment and the downstream
+    stitcher re-aligns chunks pairwise — so the permutation is chosen per
+    example, matching pyannote's local-PIT evaluation semantics.  (A single
+    batch-global permutation, the pre-2026-08-18 behavior, punished chunks
+    whose arbitrary slot order disagreed with the majority: 0.856 global
+    vs 0.908 per-chunk on the same checkpoint.)"""
     k = pred.shape[-1]
-    best = 0.0
-    for perm in itertools.permutations(range(k)):
-        acc = float(((pred[..., list(perm)] > 0.5) == (target > 0.5)).mean())
-        best = max(best, acc)
-    return best
+    if pred.ndim == 2:
+        pred, target = pred[None], target[None]
+    p = pred > 0.5
+    t = target > 0.5
+    accs = np.stack([
+        (p[..., list(perm)] == t).mean(axis=(1, 2))
+        for perm in itertools.permutations(range(k))
+    ])  # [K!, B]
+    return float(accs.max(axis=0).mean())

@@ -104,12 +104,21 @@ def corpus_diarize(
     sr = (cfg or DiarizationConfig()).audio.sample_rate
 
     def worker(dev):
+        import contextlib
         from concurrent.futures import ThreadPoolExecutor
 
         factory = pipeline_factory or (
             lambda: DiarizationPipeline(cfg, **pipeline_kwargs)
         )
-        with jax.default_device(dev), ThreadPoolExecutor(1) as prefetcher:
+        # pin the worker's dispatches to its chip — but ONLY when there are
+        # chips to disambiguate: jax.default_device is part of the jit cache
+        # key, so entering it on a single-device host forces every jitted
+        # stage to re-trace in this thread (measured: the first corpus file
+        # paid ~12 s of re-JIT, dragging the 6x600 s aggregate from ~480x
+        # to 188x while files 2-6 ran at steady state)
+        dev_ctx = (jax.default_device(dev) if len(devices) > 1
+                   else contextlib.nullcontext())
+        with dev_ctx, ThreadPoolExecutor(1) as prefetcher:
 
             pipe = factory()
 
