@@ -66,6 +66,10 @@ def main() -> None:
     ap.add_argument("--full-size", action="store_true",
                     help="encoder-proto --cold: train the production-size "
                          "EcapaTdnn instead of the 128-ch proto default")
+    ap.add_argument("--proto-channels", type=int, default=None,
+                    help="encoder-proto --cold: channel width of the cold "
+                         "net (e.g. 256) — the capacity ladder between the "
+                         "128-ch proto default and --full-size 512")
     args = ap.parse_args()
 
     import logging
@@ -182,10 +186,16 @@ def main() -> None:
 
         net = DialogDemixer(channels=args.demix_channels,
                             depth=args.demix_depth)
+        init = None
+        if args.src:
+            # continuation run: geometry travels in the npz __meta__, so the
+            # src checkpoint defines the net (the CLI scale knobs are ignored)
+            net, init = recipes.load_demixer(args.src)
         out = args.out or wroot / "demix_mc.npz"
         params, metrics = recipes.train_demixer_synthetic(
             steps=args.steps or 800, batch=args.batch or 4,
-            lr=args.lr or 5e-4, seed=args.seed, out_path=out, net=net)
+            lr=args.lr or 5e-4, seed=args.seed, out_path=out, net=net,
+            init_params=init)
         print(f"demix done in {time.time()-t0:.0f}s: per-stem SI-SNR "
               f"{metrics['si_snr_mix_db']:.2f} -> {metrics['si_snr_est_db']:.2f} dB "
               f"(+{metrics['si_snr_gain_db']:.2f}) -> {out}")
@@ -286,6 +296,14 @@ def main() -> None:
             from speech_diarization_tpu.models.ecapa import EcapaTdnn
 
             net = EcapaTdnn()
+        elif args.proto_channels:
+            from speech_diarization_tpu.models.ecapa import EcapaTdnn
+
+            c = args.proto_channels
+            net = EcapaTdnn(n_mels=40, channels=c,
+                            emb_dim=max(64, c // 2), scale=4,
+                            se_channels=max(32, c // 4),
+                            att_channels=max(32, c // 4))
         out = args.out or wroot / "ecapa_proto_stream.npz"
         params, metrics = train_speaker_encoder_proto(
             steps=args.steps or 2000,

@@ -556,10 +556,12 @@ def train_demixer_synthetic(
     out_path: str | Path | None = None,
     eval_every: int = 50,
     net=None,
+    init_params: dict | None = None,
 ) -> tuple[dict, dict]:
     """Train the Demucs-class dialog/effect/music demixer on synthetic stereo
     mixtures with per-stem SI-SNR; returns (params, metrics with heldout
-    per-stem SI-SNR vs the mixture baseline)."""
+    per-stem SI-SNR vs the mixture baseline).  ``init_params`` warm-starts
+    a continuation run (geometry must match ``net``)."""
     import optax as _optax
 
     from ..models.demix import DialogDemixer
@@ -567,7 +569,8 @@ def train_demixer_synthetic(
     from ..train.synthetic import make_demix_example
 
     model = net or DialogDemixer()
-    params = model.init(jax.random.PRNGKey(seed))
+    params = (init_params if init_params is not None
+              else model.init(jax.random.PRNGKey(seed)))
     opt = _optax.adamw(lr)
     opt_state = opt.init(params)
     rng = np.random.default_rng(seed)
