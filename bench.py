@@ -273,8 +273,14 @@ def main() -> None:
                                     keep_results=True)
             cwall = time.perf_counter() - t0
             crtf = 6 * FULL_S / cwall
-            ders = [score_der(f["result"], pairs[f["index"]][1])
-                    for f in report.files if "result" in f]
+            ders = []
+            for f in sorted(report.files, key=lambda f: f["index"]):
+                if "result" not in f:
+                    continue
+                d = score_der(f["result"], pairs[f["index"]][1])
+                ders.append(d)
+                log(f"[corpus] file {f['index']}: der {d:.2f}% "
+                    f"spk {f['speakers']} wall {f['wall_s']:.2f}s")
             corpus_der = round(float(np.mean(ders)), 2) if ders else None
             log(f"[corpus] 6x{int(FULL_S)}s: {cwall:.2f}s -> {crtf:.1f}x "
                 f"aggregate ({len(report.errors)} errors, "
@@ -351,6 +357,32 @@ def _mfu_micro_bench(model, params, iters: int = 5) -> dict:
     out["mfu_embed"] = round(flops / dt / PEAK_FLOPS, 4)
     out["embed_hbm_frac"] = round(hbm / dt / PEAK_BW, 4)
     out["embed_arith_intensity"] = round(flops / max(hbm, 1.0), 1)
+
+    # ON-CHIP variant: the blocking loop above pays a full tunnel round trip
+    # per call (~25 ms on axon), which swamps the chip time and under-reads
+    # MFU.  Chain K iterations inside ONE jit, serialized by a data
+    # dependency (the output folds back into the carry), so the wall clock
+    # is K on-chip executions + a single round trip.
+    K = 16
+
+    def chained(seg0):
+        def body(carry, _):
+            o = model.encode_grid_chunk(params, carry, wpc, margin, win, hop)
+            dep = (jnp.sum(o) * jnp.float32(1e-12)).astype(carry.dtype)
+            return carry + dep, None
+
+        c, _ = jax.lax.scan(body, seg0, None, length=K)
+        return c
+
+    fnK = jax.jit(chained)
+    jax.block_until_ready(fnK(seg))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        jax.block_until_ready(fnK(seg))
+    dtc = (time.perf_counter() - t0) / iters / K
+    out["embed_chunk_ms_onchip"] = round(dtc * 1000.0, 2)
+    out["mfu_embed_onchip"] = round(flops / dtc / PEAK_FLOPS, 4)
+    out["embed_hbm_frac_onchip"] = round(hbm / dtc / PEAK_BW, 4)
     return out
 
 
