@@ -43,6 +43,17 @@ class SegmentationConfig:
     # least reliable — with 50% overlap every frame is covered by exactly
     # one chunk CENTER).  None = non-overlapping chunks (old behavior).
     chunk_hop_s: float | None = 2.5
+    # pyannote-style aggregation: align each chunk's slot permutation to the
+    # running global aggregate on their overlap, Hann-weight-average aligned
+    # activities onto one global [T, K] timeline, binarize ONCE globally —
+    # turns stay continuous across chunk boundaries instead of being cut at
+    # every chunk edge and re-joined only if clustering agrees.
+    # MEASURED OFF (2026-08-18, powerset ckpt best-perm 0.86): averaging
+    # this checkpoint's soft activities dilutes them below onset — DER on
+    # 3x40 s 2-spk files 33.0/44.2/58.2% vs 13.8/15.7/6.1% for center-trim.
+    # Aggregation needs crisp (near-0/1) activities to win; re-measure when
+    # a stronger segmentation checkpoint ships.
+    aggregate: bool = False
     hop_ms: float = 10.0
     # activity binarization threshold.  0.3 (was 0.5) measured on 3x60 s
     # overlap-0.3 held-out files with the powerset checkpoint: miss
@@ -80,6 +91,47 @@ def _binarize_activity(act: np.ndarray, cfg: SegmentationConfig) -> list[tuple[i
     return [(f0, f1) for f0, f1 in merged if f1 - f0 >= min_on]
 
 
+def aggregate_chunk_activities(
+    acts: np.ndarray,
+    stride_f: int,
+) -> np.ndarray:
+    """Stitch per-chunk slot activities into one global timeline
+    (pyannote's inference aggregation, ``pyannote.audio`` Inference
+    sliding-window semantics — the analog the reference consumes as a
+    binary via ``diarization_baseline.py:170-181``).
+
+    ``acts``: [n_chunks, F, K] slot activities from chunks taken every
+    ``stride_f`` frames.  Slot identity is chunk-local (PIT training), so
+    each chunk is first aligned to the running aggregate by the best slot
+    permutation on the overlap region (K! enumeration, K <= 4), then its
+    activities are Hann-weight-averaged into the global [T, K] timeline.
+    """
+    import itertools
+
+    n_chunks, f, k = acts.shape
+    t_total = (n_chunks - 1) * stride_f + f
+    agg = np.zeros((t_total, k), np.float64)
+    wsum = np.zeros((t_total, 1), np.float64)
+    # Hann-like weights favor chunk centers where the BiGRU has context on
+    # both sides; +eps keeps edge frames covered at the file boundaries
+    w = (np.hanning(f + 2)[1:-1] + 1e-3)[:, None]
+    perms = list(itertools.permutations(range(k)))
+    for c in range(n_chunks):
+        lo = c * stride_f
+        a = acts[c].astype(np.float64)
+        if c > 0:
+            # overlap with the aggregate so far: frames [lo, prev_end)
+            ov = min((c - 1) * stride_f + f, t_total) - lo
+            if ov > 0:
+                ref = agg[lo : lo + ov] / np.maximum(wsum[lo : lo + ov], 1e-9)
+                errs = [float(((a[:ov, list(p)] - ref) ** 2).sum())
+                        for p in perms]
+                a = a[:, list(perms[int(np.argmin(errs))])]
+        agg[lo : lo + f] += w * a
+        wsum[lo : lo + f] += w
+    return (agg / np.maximum(wsum, 1e-9)).astype(np.float32)
+
+
 def segmentation_diarize(
     y,
     sr: int,
@@ -107,26 +159,36 @@ def segmentation_diarize(
     acts = np.asarray(seg_activities_fn(chunks))  # [n_chunks, F, K]
     hop_s = cfg.hop_ms / 1000.0
 
-    # per-chunk kept frame range: the center stride_s of each chunk (first
-    # chunk keeps its head, last keeps its tail) so overlapping chunks tile
-    # the timeline with their most-context-rich frames
-    trim_f = int(round((cfg.chunk_s - stride_s) / 2.0 / hop_s))
-    n_frames = acts.shape[1]
-
     starts, ends = [], []
-    for c in range(n_chunks):
-        lo = 0 if c == 0 else trim_f
-        hi = n_frames if c == n_chunks - 1 else n_frames - trim_f
-        for k in range(acts.shape[2]):
-            for f0, f1 in _binarize_activity(acts[c, :, k], cfg):
-                f0c, f1c = max(f0, lo), min(f1, hi)
-                if f1c <= f0c:
-                    continue
-                s = (c * stride + f0c * hop_s * sr) / sr
-                e = min((c * stride + f1c * hop_s * sr) / sr, len(y) / sr)
-                if e - s >= cfg.min_on_s:
+    max_t = len(y) / sr
+    if cfg.aggregate and n_chunks > 1:
+        stride_f = int(round(stride / (hop_s * sr)))
+        glob = aggregate_chunk_activities(acts, stride_f)  # [T, K]
+        for k in range(glob.shape[1]):
+            for f0, f1 in _binarize_activity(glob[:, k], cfg):
+                s, e = f0 * hop_s, min(f1 * hop_s, max_t)
+                if e - s >= cfg.min_on_s and s < max_t:
                     starts.append(s)
                     ends.append(e)
+    else:
+        # per-chunk kept frame range: the center stride_s of each chunk
+        # (first chunk keeps its head, last keeps its tail) so overlapping
+        # chunks tile the timeline with their most-context-rich frames
+        trim_f = int(round((cfg.chunk_s - stride_s) / 2.0 / hop_s))
+        n_frames = acts.shape[1]
+        for c in range(n_chunks):
+            lo = 0 if c == 0 else trim_f
+            hi = n_frames if c == n_chunks - 1 else n_frames - trim_f
+            for k in range(acts.shape[2]):
+                for f0, f1 in _binarize_activity(acts[c, :, k], cfg):
+                    f0c, f1c = max(f0, lo), min(f1, hi)
+                    if f1c <= f0c:
+                        continue
+                    s = (c * stride + f0c * hop_s * sr) / sr
+                    e = min((c * stride + f1c * hop_s * sr) / sr, max_t)
+                    if e - s >= cfg.min_on_s:
+                        starts.append(s)
+                        ends.append(e)
     if not starts:
         return SegmentArray.from_pairs([])
     local = SegmentArray(np.asarray(starts), np.asarray(ends))
