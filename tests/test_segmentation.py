@@ -140,6 +140,37 @@ class TestSyntheticOverlap:
         assert labels.shape == (501, 3)
 
 
+class TestAggregation:
+    def test_permutation_aligned_stitching(self):
+        """Chunks whose PIT slots are arbitrarily permuted must stitch back
+        into continuous per-speaker tracks on the global timeline."""
+        from speech_diarization_tpu.pipelines.segmentation import (
+            aggregate_chunk_activities,
+        )
+
+        rng = np.random.default_rng(0)
+        t_total, f, stride_f, k = 500, 200, 100, 3
+        truth = np.zeros((t_total, k), np.float32)
+        truth[50:260, 0] = 1.0   # speaker 0: one long turn crossing chunks
+        truth[150:420, 1] = 1.0  # speaker 1: overlaps speaker 0
+        n_chunks = (t_total - f) // stride_f + 1
+        acts = np.zeros((n_chunks, f, k), np.float32)
+        for c in range(n_chunks):
+            perm = rng.permutation(k)  # chunk-local slot identity
+            acts[c] = truth[c * stride_f : c * stride_f + f][:, perm]
+        agg = aggregate_chunk_activities(acts, stride_f)
+        assert agg.shape == (t_total, k)
+        # per-chunk slots were scrambled, so recovery up to ONE global
+        # permutation is the contract
+        import itertools
+
+        best = min(
+            float(np.abs(agg[:, list(p)] - truth).mean())
+            for p in itertools.permutations(range(k))
+        )
+        assert best < 0.02, best
+
+
 class TestBinarize:
     def test_min_on_off(self):
         cfg = SegmentationConfig(onset=0.5, min_on_s=0.1, min_off_s=0.05)
