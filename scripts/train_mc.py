@@ -61,6 +61,9 @@ def main() -> None:
                     help="segmentation: train the pyannote-3.x powerset "
                          "multiclass head (PIT-CE) instead of multilabel "
                          "sigmoids")
+    ap.add_argument("--overlap-weight", type=float, default=0.0,
+                    help="segmentation --powerset: extra loss weight on "
+                         "overlapped frames (e.g. 2.0 = 3x)")
     ap.add_argument("--seg-channels", type=int, default=96)
     ap.add_argument("--seg-hidden", type=int, default=96)
     ap.add_argument("--full-size", action="store_true",
@@ -176,6 +179,7 @@ def main() -> None:
             powerset=args.powerset,
             channels=args.seg_channels,
             hidden=args.seg_hidden,
+            overlap_weight=args.overlap_weight,
         )
         print(f"segmentation mc done in {time.time()-t0:.0f}s: "
               f"best-perm acc {metrics['frame_accuracy']:.4f} -> {out}")

@@ -158,23 +158,35 @@ def pit_bce_loss(pred: jax.Array, target: jax.Array, eps: float = 1e-7) -> jax.A
     return jnp.mean(jnp.min(jnp.stack(losses), axis=0))
 
 
-def powerset_pit_ce_loss(logits: jax.Array, target: jax.Array) -> jax.Array:
+def powerset_pit_ce_loss(
+    logits: jax.Array,
+    target: jax.Array,
+    overlap_weight: float = 0.0,
+) -> jax.Array:
     """Permutation-invariant cross-entropy over the speaker-subset powerset
     (pyannote 3.x training objective, Plaquet & Bredin 2023).
 
     logits [B, T, 2^K], target [B, T, K] binary activities.  For each of the
     K! slot permutations the target frame's class index is its permuted
     activity pattern read as a binary number; the chunk loss is the minimum
-    mean CE over permutations (K <= 4 keeps the enumeration trivial)."""
+    mean CE over permutations (K <= 4 keeps the enumeration trivial).
+
+    ``overlap_weight`` > 0 up-weights frames with >= 2 active speakers by
+    ``(1 + overlap_weight)`` — overlap frames are ~20% of the data but carry
+    most of the residual error (frame acc 0.70 on overlap vs 0.96 overall,
+    2026-08-18), so the plain mean under-trains exactly the capability that
+    distinguishes this engine from the VAD+SCD flagship."""
     k = target.shape[-1]
     logp = jax.nn.log_softmax(logits, axis=-1)  # [B, T, C]
     weights = 2 ** jnp.arange(k)  # bit k of the class index
     tgt = (target > 0.5).astype(jnp.int32)
+    fw = 1.0 + overlap_weight * (jnp.sum(tgt, axis=-1) >= 2)  # [B, T]
+    fw = fw / jnp.mean(fw, axis=1, keepdims=True)  # keep per-chunk scale
     losses = []
     for perm in itertools.permutations(range(k)):
         cls = jnp.sum(tgt[..., list(perm)] * weights, axis=-1)  # [B, T]
         ce = -jnp.take_along_axis(logp, cls[..., None], axis=-1)[..., 0]
-        losses.append(jnp.mean(ce, axis=1))  # [B]
+        losses.append(jnp.mean(fw * ce, axis=1))  # [B]
     return jnp.mean(jnp.min(jnp.stack(losses), axis=0))
 
 

@@ -642,6 +642,7 @@ def train_segmentation_synthetic(
     powerset: bool = False,
     channels: int = 96,
     hidden: int = 96,
+    overlap_weight: float = 0.0,
 ) -> tuple[dict, dict]:
     """Train the PyanNet-class chunk-local segmentation model (VERDICT r1
     missing #3) on synthetic overlapping-speech chunks; returns (params,
@@ -649,7 +650,8 @@ def train_segmentation_synthetic(
 
     ``powerset=True`` trains the pyannote-3.x multiclass head with PIT-CE
     (models/segmentation.powerset_pit_ce_loss); ``False`` the legacy
-    multilabel sigmoid head with PIT-BCE."""
+    multilabel sigmoid head with PIT-BCE.  ``overlap_weight`` up-weights
+    overlapped frames in the powerset loss (see that function's doc)."""
     import optax as _optax
 
     from ..models.segmentation import (
@@ -679,7 +681,8 @@ def train_segmentation_synthetic(
         if powerset:
             logits = model.head_logits(p, wavs)
             n = min(logits.shape[1], labels.shape[1])
-            return powerset_pit_ce_loss(logits[:, :n], labels[:, :n])
+            return powerset_pit_ce_loss(logits[:, :n], labels[:, :n],
+                                        overlap_weight=overlap_weight)
         act = model.activities(p, wavs)
         n = min(act.shape[1], labels.shape[1])
         return pit_bce_loss(act[:, :n], labels[:, :n])
