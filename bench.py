@@ -151,12 +151,13 @@ def main() -> None:
     # full-size synthetic weights make segment/cluster/reassign load realistic
     # (random weights collapse everything to 1 speaker). SDTPU_BENCH_ENCODER:
     # trained (default, falls back to random if weights missing) | random.
-    wroot = Path(__file__).resolve().parent / "weights"
-    enc_weights = next(
-        (wroot / n for n in ("ecapa_synthetic_full_stream.npz",
-                             "ecapa_synthetic_full.npz") if (wroot / n).exists()),
-        wroot / "ecapa_synthetic_full.npz",
+    from speech_diarization_tpu.utils.weights import (
+        ENCODER_PREFERENCE, prefer_weights,
     )
+
+    wroot = Path(__file__).resolve().parent / "weights"
+    enc_weights = (prefer_weights(ENCODER_PREFERENCE)
+                   or wroot / "ecapa_synthetic_full.npz")
     if (os.environ.get("SDTPU_BENCH_ENCODER", "trained") == "trained"
             and enc_weights.exists()):
         from speech_diarization_tpu.train.recipes import load_speaker_encoder

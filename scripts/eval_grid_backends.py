@@ -49,13 +49,13 @@ def main() -> None:
     from speech_diarization_tpu.types import SegmentArray
 
     sr = 16000
-    wdir = Path(__file__).resolve().parents[1] / "weights"
-    dtype = jnp.bfloat16 if args.bf16 else None
-    default_w = next(
-        (wdir / n for n in ("ecapa_synthetic_full_stream.npz",
-                            "ecapa_synthetic_full.npz") if (wdir / n).exists()),
-        wdir / "ecapa_synthetic_full.npz",
+    from speech_diarization_tpu.utils.weights import (
+        ENCODER_PREFERENCE, WEIGHTS_ROOT, prefer_weights,
     )
+
+    wdir = WEIGHTS_ROOT
+    dtype = jnp.bfloat16 if args.bf16 else None
+    default_w = prefer_weights(ENCODER_PREFERENCE)
     model, params = load_speaker_encoder(
         Path(args.weights) if args.weights else default_w, dtype=dtype)
     print(f"encoder: {args.weights or default_w}", flush=True)

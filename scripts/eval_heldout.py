@@ -71,12 +71,13 @@ def build_pipeline(cpu_dtype: bool, enc_weights: str | None = None,
     from speech_diarization_tpu.pipelines.diarize import DiarizationPipeline
     from speech_diarization_tpu.train.recipes import load_speaker_encoder, load_vad
 
-    wroot = Path(__file__).resolve().parents[1] / "weights"
-    enc_w = Path(enc_weights) if enc_weights else next(
-        (wroot / n for n in ("ecapa_synthetic_full_stream.npz",
-                             "ecapa_synthetic_full.npz",
-                             "ecapa_synthetic.npz")
-         if (wroot / n).exists()), None)
+    from speech_diarization_tpu.utils.weights import (
+        ENCODER_PREFERENCE, WEIGHTS_ROOT, prefer_weights,
+    )
+
+    wroot = WEIGHTS_ROOT
+    enc_w = Path(enc_weights) if enc_weights else prefer_weights(
+        ENCODER_PREFERENCE)
     if enc_w is None:
         raise SystemExit("no shipped encoder weights under weights/")
     dtype = jnp.float32 if cpu_dtype else jnp.bfloat16

@@ -111,8 +111,11 @@ def pipeline_eval(weights: Path, n_files: int, dur_s: float, n_speakers: int,
     from speech_diarization_tpu.types import SegmentArray
 
     sr = 16000
-    wroot = Path(__file__).resolve().parents[1] / "weights"
-    enc_w = wroot / "ecapa_synthetic_full_stream.npz"
+    from speech_diarization_tpu.utils.weights import (
+        ENCODER_PREFERENCE, prefer_weights,
+    )
+
+    enc_w = prefer_weights(ENCODER_PREFERENCE)
     dtype = jnp.float32 if cpu else jnp.bfloat16
     model, params = load_speaker_encoder(enc_w, dtype=dtype)
     pipe = DiarizationPipeline(

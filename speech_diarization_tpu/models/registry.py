@@ -33,12 +33,9 @@ def _make_ecapa(weights, sample_rate: int, seed: int):
     from .ecapa import EcapaModel
 
     if weights is None:
-        for name in ("ecapa_synthetic_full_stream.npz",
-                     "ecapa_synthetic_full.npz", "ecapa_synthetic.npz"):
-            shipped = _WEIGHTS_DIR / name
-            if shipped.exists():
-                weights = shipped
-                break
+        from ..utils.weights import ENCODER_PREFERENCE, prefer_weights
+
+        weights = prefer_weights(ENCODER_PREFERENCE)
     if weights is not None and str(weights).endswith(".npz"):
         from ..train.recipes import load_speaker_encoder
 

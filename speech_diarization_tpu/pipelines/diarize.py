@@ -98,17 +98,12 @@ class DiarizationPipeline:
         if encode_fn is None:
             from pathlib import Path
 
-            wdir = Path(__file__).resolve().parents[2] / "weights"
+            from ..utils.weights import ENCODER_PREFERENCE, prefer_weights
+
             # streaming-trained weights first: they engage the trunk-shared
             # grid under grid_backend='auto' (same DER, ~10x less trunk work)
-            default = next(
-                (wdir / n for n in ("ecapa_synthetic_full_stream.npz",
-                                    "ecapa_synthetic_full.npz",
-                                    "ecapa_synthetic.npz")
-                 if (wdir / n).exists()),
-                wdir / "ecapa_synthetic.npz",
-            )
-            if default.exists():
+            default = prefer_weights(ENCODER_PREFERENCE)
+            if default is not None:
                 from ..train.recipes import load_speaker_encoder
 
                 log.info("encoder: using shipped synthetic-trained weights %s",

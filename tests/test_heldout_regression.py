@@ -21,7 +21,8 @@ pytestmark = pytest.mark.slow  # ~minutes on CPU; part of the full suite only
 
 WROOT = Path(__file__).resolve().parents[1] / "weights"
 PROTO = next((WROOT / n for n in
-              ("ecapa_proto_small.npz", "ecapa_proto2_stream.npz")
+              ("ecapa_robust_stream.npz", "ecapa_proto_small.npz",
+               "ecapa_proto2_stream.npz")
               if (WROOT / n).exists()), None)
 R1 = WROOT / "ecapa_synthetic_full_stream.npz"
 MC_VAD = WROOT / "vad_conv_mc.npz"
@@ -56,8 +57,9 @@ def test_heldout_dry_der_under_15pct():
 
     RE-PINNED 2026-08-18: the mixed-family cold-trained encoder
     (ecapa_proto_small) measures 1.5% mean on this domain (was 30-45%
-    for the broken-crest-warm-started encoders) — gate at 10% so sample
-    noise passes but any return of the confusion failure mode fails."""
+    for the broken-crest-warm-started encoders); the chip-continued
+    ecapa_robust_stream measures 2.14% — gate at 10% so sample noise
+    passes but any return of the confusion failure mode fails."""
     from speech_diarization_tpu.train.heldout import make_conversation_heldout
 
     pipe = _pipeline(PROTO, MC_VAD)
@@ -68,6 +70,26 @@ def test_heldout_dry_der_under_15pct():
                                                 sr=16000)
         ders.append(_score(pipe, wave, truth))
     assert float(np.mean(ders)) < 0.10, ders
+
+
+@pytest.mark.skipif(PROTO is None or PROTO.name != "ecapa_robust_stream.npz"
+                    or not MC_VAD.exists(),
+                    reason="robust default encoder not shipped")
+def test_robust_encoder_indomain_distribution():
+    """The SHIPPED DEFAULT encoder must hold the in-domain quality bar that
+    made r1 the previous default (the robust encoder replaced it only
+    because it measured 0.53% in-domain vs r1's 0.64 — eval_heldout
+    2026-08-18).  Same heavy-tail seeds and gates as the r1 test below."""
+    from speech_diarization_tpu.train.synthetic import make_conversation
+
+    pipe = _pipeline(PROTO, MC_VAD)
+    ders = []
+    for i in range(6):
+        rng = np.random.default_rng(2000 + i)
+        wave, truth = make_conversation(rng, 60.0, n_speakers=3, sr=16000)
+        ders.append(_score(pipe, wave, truth))
+    assert float(np.median(ders)) < 0.03, ders
+    assert float(np.mean(ders)) < 0.15, ders
 
 
 @pytest.mark.skipif(not R1.exists() or not MC_VAD.exists(),
