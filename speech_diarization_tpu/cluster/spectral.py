@@ -1,32 +1,25 @@
-"""Spectral clustering with adaptive-threshold affinity — on device.
+"""Spectral clustering with sharpened weighted affinity — on device.
 
 The TPU-native default replacing host HDBSCAN/agglomerative clustering
-(SURVEY.md §7.4 item 2): cosine affinity (MXU matmul) → binarized neighbor
-graph → symmetric normalized Laplacian → ``jnp.linalg.eigh`` → eigengap
-speaker count → masked k-means over the spectral embedding.
+(SURVEY.md §7.4 item 2): cosine affinity (MXU matmul) → p-power sharpened
+edge weights → symmetric normalized Laplacian → ``jnp.linalg.eigh`` →
+eigengap speaker count → masked k-means over the spectral embedding.
 
-Graph construction auto-tunes per file with TWO candidates, scored by their
-maximal eigengap (the candidate whose spectrum looks most like clean block
-structure wins):
+Graph construction is ``max(cos, 0)^p + eps`` (p = ``_SHARPEN_P``): the
+power suppresses moderate cross-speaker similarity relative to the
+within-speaker mode WITHOUT destroying their ordering, so the eigengap
+sees block structure even when a near-collided speaker pair sits at
+cross-cos ~0.6 (measured 2026-08-19: the previous binarized two-means
+threshold kept that pair's edges and merged it — 2/3 speakers, 33% DER on
+the bench file — while relu^3 recovers all three; the same weighting
+also handles the 1,435-segment bridge-thinning case binarization needed a
+dense-fallback candidate for, and the unimodal single-speaker case, so
+the former two-candidate design collapses to one graph and one eigh).
+The ``eps`` floor keeps outlier rows weakly connected — an isolated node
+would contribute a spurious zero eigenvalue = one extra "speaker".
 
-  1. **adaptive threshold**: binarize at the midpoint between the two modes
-     of the off-diagonal similarity distribution (scalar 2-means — an Otsu
-     split; jit-friendly, no sort).  When intra/inter-speaker similarities
-     are separable this yields the exact component structure regardless of
-     cluster sizes.  If the two modes are closer than ``_MIN_MODE_SEP`` the
-     distribution is unimodal (single speaker or hopeless overlap) and the
-     threshold drops to keep-everything, whose complete graph correctly
-     produces k=1.
-  2. **dense top-m** (m = 0.7·n per row): the safety net when thresholding
-     fragments (noisy real embeddings with heavy-tailed similarity).
-
-A fixed top-m percentile alone cannot adapt to cluster sizes — it merges
-speakers when clusters are smaller than the kept row mass and splits them
-when larger (measured: 7.6% DER on the synthetic harness vs 0.6% for AHC;
-the adaptive threshold brings spectral to parity).
-
-Everything is static-shaped: both candidates are built at trace time, the
-winner and the traced speaker count only gate masks.
+Everything is static-shaped: the graph is built at trace time, the traced
+speaker count only gates masks.
 """
 from __future__ import annotations
 
@@ -38,9 +31,8 @@ from jax import lax
 from .affinity import cosine_affinity, l2_normalize
 from .kmeans import kmeans
 
-_DENSE_Q = 0.7        # keep-fraction of the dense fallback candidate
-_MIN_MODE_SEP = 0.15  # below this the similarity distribution is unimodal
-_TWO_MEANS_ITERS = 15
+_SHARPEN_P = 3.0   # affinity sharpening power (see module docstring)
+_EDGE_EPS = 1e-4   # weak-connectivity floor
 
 
 def estimate_num_speakers(
@@ -54,25 +46,6 @@ def estimate_num_speakers(
     allowed = (idx >= min_speakers) & (idx <= max_speakers)
     gaps = jnp.where(allowed, gaps, -jnp.inf)
     return (jnp.argmax(gaps) + 1).astype(jnp.int32)
-
-
-def _two_means_threshold(sims: jax.Array):
-    """Scalar 2-means over off-diagonal similarities -> (midpoint, mode_sep).
-    Fixed iteration count; no sort (axon-safe)."""
-    lo, hi = jnp.min(sims), jnp.max(sims)
-
-    def step(c, _):
-        d0 = jnp.abs(sims - c[0])
-        d1 = jnp.abs(sims - c[1])
-        in0 = d0 <= d1
-        w0 = jnp.maximum(jnp.sum(in0), 1)
-        w1 = jnp.maximum(jnp.sum(~in0), 1)
-        c0 = jnp.sum(jnp.where(in0, sims, 0.0)) / w0
-        c1 = jnp.sum(jnp.where(~in0, sims, 0.0)) / w1
-        return jnp.stack([c0, c1]), None
-
-    c, _ = lax.scan(step, jnp.stack([lo, hi]), None, length=_TWO_MEANS_ITERS)
-    return 0.5 * (c[0] + c[1]), c[1] - c[0]
 
 
 def _laplacian_eig(a: jax.Array):
@@ -98,38 +71,23 @@ def _spectral_labels(
     idx_k = jnp.arange(1, kmax + 1)
     allowed = (idx_k >= min_speakers) & (idx_k <= max_speakers)
 
-    # candidate 1: adaptive threshold (keep-all when unimodal)
-    off = jnp.where(eye, jnp.nan, aff)
-    sims = jnp.where(eye, jnp.nanmean(off), aff).reshape(-1)
-    tau, sep = _two_means_threshold(sims)
-    tau = jnp.where(sep < _MIN_MODE_SEP, jnp.min(sims) - 1.0, tau)
-    a_thr = (aff >= tau).astype(aff.dtype)
-    a_thr = 0.5 * (a_thr + a_thr.T)
-
-    # candidate 2: dense top-m fallback
-    m = int(np.clip(round(_DENSE_Q * n), 2, n))
-    thr = lax.top_k(aff, m)[0][:, m - 1 : m]
-    a_dense = (aff >= thr).astype(aff.dtype)
-    a_dense = 0.5 * (a_dense + a_dense.T)
-
-    ks, vecs_all = [], []
-    for a in (a_thr, a_dense):
-        eigvals, eigvecs = _laplacian_eig(a)
-        gaps = jnp.where(allowed, eigvals[1 : kmax + 1] - eigvals[:kmax], -jnp.inf)
-        ks.append(jnp.argmax(gaps) + 1)
-        vecs_all.append(eigvecs)
-
-    # Candidate selection by MODE SEPARATION, not gap size: a near-complete
-    # dense graph always carries a large trivial k=1 connectivity gap
-    # (lambda_2 ~ 0.55), which out-competes a genuine k-block gap once N is
-    # large enough for above-threshold bridge edges to thin the block
-    # structure (measured: correct at 713 segments, collapsed to k=1 at 1435
-    # on the same audio).  The threshold graph is trusted whenever the
-    # similarity distribution is bimodal; the dense fallback serves the
-    # unimodal case (where tau already degraded to keep-everything anyway).
-    best = jnp.where(sep >= _MIN_MODE_SEP, 0, 1)
-    k = jnp.stack(ks)[best].astype(jnp.int32)
-    eigvecs = jnp.stack(vecs_all)[best]
+    # Sharpened WEIGHTED affinity (replaces the former binarized
+    # threshold/dense-top-m candidate pair, 2026-08-19): max(aff,0)^p keeps
+    # the within-speaker (cos 0.8+) vs near-pair-cross (cos ~0.6) contrast
+    # that binarization erases — under the robust encoder a near-collided
+    # speaker pair sat entirely above the two-means tau and the eigengap
+    # merged it (bench seed-0: 2/3 speakers, 33% DER), while relu^3 finds
+    # all three blocks.  The same weighting also survives the 1,435-segment
+    # bridge-thinning case the old two-candidate design existed for, and
+    # the elementwise power is cheaper on device than top_k.  The small
+    # floor keeps outlier rows weakly connected (an isolated node would
+    # fake a zero eigenvalue = one extra "speaker").
+    a = jnp.maximum(aff, 0.0) ** _SHARPEN_P + _EDGE_EPS
+    a = jnp.where(eye, 1.0, a)
+    a = 0.5 * (a + a.T)
+    eigvals, eigvecs = _laplacian_eig(a)
+    gaps = jnp.where(allowed, eigvals[1 : kmax + 1] - eigvals[:kmax], -jnp.inf)
+    k = (jnp.argmax(gaps) + 1).astype(jnp.int32)
     # static width, but columns >= k are zeroed (they oscillate *within*
     # clusters and would pollute k-means distances)
     spec = eigvecs[:, :max_speakers] * (jnp.arange(max_speakers) < k)[None, :]
@@ -166,26 +124,9 @@ def _spectral_labels_np(
     idx_k = np.arange(1, kmax + 1)
     allowed = (idx_k >= min_speakers) & (idx_k <= max_speakers)
 
-    sims = aff[~np.eye(n, dtype=bool)]
-    lo, hi = sims.min(), sims.max()
-    c = np.array([lo, hi], np.float64)
-    for _ in range(_TWO_MEANS_ITERS):
-        assign = np.abs(sims - c[0]) <= np.abs(sims - c[1])
-        if assign.any():
-            c[0] = sims[assign].mean()
-        if (~assign).any():
-            c[1] = sims[~assign].mean()
-    tau = 0.5 * (c[0] + c[1])
-    bimodal = c[1] - c[0] >= _MIN_MODE_SEP
-    if bimodal:
-        a = (aff >= tau).astype(np.float64)
-    else:
-        # unimodal: dense top-m fallback (see the jit path's selection note —
-        # trusted only here, because its trivial k=1 connectivity gap would
-        # out-compete genuine block gaps at large N)
-        m = int(np.clip(round(_DENSE_Q * n), 2, n))
-        thr = np.partition(aff, n - m, axis=1)[:, n - m : n - m + 1]
-        a = (aff >= thr).astype(np.float64)
+    # sharpened weighted affinity — see the jit path's rationale note
+    a = np.maximum(aff, 0.0) ** _SHARPEN_P + _EDGE_EPS
+    np.fill_diagonal(a, 1.0)
     a = 0.5 * (a + a.T)
 
     deg = a.sum(axis=1)

@@ -167,8 +167,13 @@ class TestEnhanceChain:
             audio=AudioConfig(target_lufs=None, preemphasis=None),
             cluster=ClusterConfig(method="ahc", max_speakers=4),
         )
+        # enhancement is noise-adaptive BY DEFAULT now (EnhanceConfig
+        # scope='auto'), so the un-enhanced contrast chain must opt out
+        # explicitly — without this both pipelines engage denoise-for-VAD
+        # at this SNR and measure identically
         plain = DiarizationPipeline(
-            DiarizationConfig(**base), vad_probs_fn=vad_fn)
+            DiarizationConfig(**base, enhance=EnhanceConfig(enabled=False)),
+            vad_probs_fn=vad_fn)
         enhanced = DiarizationPipeline(
             DiarizationConfig(**base, enhance=EnhanceConfig(enabled=True)),
             vad_probs_fn=vad_fn)
