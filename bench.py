@@ -330,10 +330,11 @@ def _mfu_micro_bench(model, params, iters: int = 5) -> dict:
     out = {}
     rng = np.random.default_rng(0)
 
-    # embed grid: the production chunk shape (600 windows of 1 s at 0.1 s
-    # hop + 4 s margins — the shape embed_windows_streaming compiles)
+    # embed grid: the production chunk shape (600 windows of 2 s at 0.1 s
+    # hop + 4 s margins — the shape embed_windows_streaming compiles under
+    # the round-3 default grid geometry)
     sr = 16000
-    win, hop, wpc = sr, sr // 10, 600
+    win, hop, wpc = 2 * sr, sr // 10, 600
     margin = 4 * sr
     span = 2 * margin + (wpc - 1) * hop + win
 

@@ -33,7 +33,11 @@ def main() -> None:
     jax.config.update("jax_platforms", "cpu")
 
     from speech_diarization_tpu.config import ClusterConfig, DiarizationConfig
-    from speech_diarization_tpu.pipelines import diarize as dz
+    import importlib
+
+    # pipelines/__init__ re-exports the diarize FUNCTION, which shadows the
+    # submodule attribute — resolve the module through importlib instead
+    dz = importlib.import_module("speech_diarization_tpu.pipelines.diarize")
     from speech_diarization_tpu.train.recipes import (
         load_speaker_encoder, load_vad,
     )
@@ -81,7 +85,8 @@ def main() -> None:
         ov = np.minimum(b, te) - np.maximum(a, ts)
         by_spk = np.zeros(int(tk.max()) + 1)
         np.add.at(by_spk, tk, np.maximum(ov, 0.0))
-        truth[i] = int(by_spk.argmax())
+        if by_spk.max() > 0:  # pure-false-alarm segments keep -1 (ADVICE r2)
+            truth[i] = int(by_spk.argmax())
     captured["seg_truth"] = truth
     np.savez(args.out, **captured)
     print({"out": args.out, "n_segments": ns,

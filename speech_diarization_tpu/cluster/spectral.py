@@ -160,12 +160,15 @@ def _spectral_labels_np(
     return d.argmin(1).astype(np.int32)
 
 
-_SPLIT_MAX_CENT_COS = 0.65  # sub-centroid similarity above this = one speaker
-# bisection statistics are only trustworthy with enough fully-inside windows:
-# at ~70 windows a true single speaker bisected at sub-cos 0.55 (measured,
-# 60 s file) while with 150+ windows singles stay >= 0.72 and true merged
-# pairs <= 0.65.  100 windows = ~10 s of on-grid speech per cluster.
-_SPLIT_MIN_WINDOWS = 100
+# sub-centroid similarity above this = one speaker.  Calibrated for the
+# 2 s grid-window geometry (the round-3 default): merged pairs measure
+# 0.555-0.682, singles 0.724-0.940 (see refine_labels_by_windows docstring);
+# per-encoder npz meta `refine_sub_cos` overrides.
+_SPLIT_MAX_CENT_COS = 0.70
+# bisection statistics are only trustworthy with enough fully-inside windows;
+# at the 2 s / 0.1 s grid a 60 s file's merged pair yields ~43 — require 40
+# (~6 s of on-grid speech per cluster beyond the window span).
+_SPLIT_MIN_WINDOWS = 40
 
 
 def bisect_windows(wemb: np.ndarray):
@@ -205,6 +208,8 @@ def refine_labels_by_windows(
     max_speakers: int,
     sub_cos_thr: float = _SPLIT_MAX_CENT_COS,
     min_windows: int = _SPLIT_MIN_WINDOWS,
+    seg_embs: np.ndarray | None = None,
+    polish_iters: int = 2,
 ) -> np.ndarray:
     """Recursive cluster bisection driven by WINDOW embeddings.
 
@@ -221,18 +226,26 @@ def refine_labels_by_windows(
     (``diarization_baseline.py:176-181``).  Each member segment follows the
     majority side of its own windows, so segments stay atomic.
 
-    Measured limits of the statistic at 60 s (24-seed truth-labeled probe,
-    2026-08-18; STATUS.md "60 s tail"): the sub-centroid cosine bands
-    overlap at the margins — true-merged pairs reach 0.82 while drifting
-    singles dip to 0.63 — and no structural side-statistic separates them
-    (split segment-purity: singles reach 1.0, merged dip to 0.71;
-    temporal alternation: both span 0.0-1.0).  The worst 60 s tail cases
-    are not even clustering failures: their SEGMENTS are truth-impure
-    (SCD missed a change between near-collided voices), which no
-    label-level refinement can fix.  At 600 s the window statistics
-    tighten and the absolute threshold separates cleanly (0.21% corpus
-    DER), so the rule stays: absolute threshold, per-encoder calibration
-    via npz meta (scripts/calibrate_bisect.py --write).
+    Measured limits of the statistic at 60 s with 1 s windows (24-seed
+    truth-labeled probe, 2026-08-18; STATUS.md "60 s tail"): the
+    sub-centroid cosine bands overlap at the margins.  **At 2 s grid
+    windows (the round-3 default geometry) the bands separate cleanly**
+    (2026-08-19, /tmp/win2 dumps): true merged pairs measure sub-cos
+    0.555-0.682 while true singles sit at 0.724-0.940, so the threshold
+    (0.70, per-encoder-calibratable via npz meta) rescues every merged
+    pair in the probe set — including the seed-2000 near-collision that
+    was unrescuable at 1 s windows.  The rule stays: absolute threshold,
+    per-encoder calibration via npz meta (scripts/calibrate_bisect.py
+    --write).
+
+    Side assignment: when ``seg_embs`` is given, each member segment joins
+    the sub-centroid its own pooled embedding is closer to (measured
+    strictly better than per-segment window-majority, which leaves 13%
+    confusion on the 600 s near-pair case — short segments have few or no
+    fully-inside windows).  ``polish_iters`` runs a duration-weighted
+    cosine k-means over segment embeddings after any split — it repairs
+    straggler segments against the post-split centroids (seed-2000:
+    2.38% -> 0.00% confusion) and is a no-op when labels are stable.
     """
     labels = np.asarray(labels, np.int32).copy()
     if len(labels) == 0 or win_embs.shape[0] == 0:
@@ -263,7 +276,11 @@ def refine_labels_by_windows(
     # further from splitting) and reintroduce the drifting-single over-split
     # (seed 2005 @ scd z=1.0: 0.52% -> 16.5% DER).  Per-segment fully-inside
     # stays.
+    es = None
+    if seg_embs is not None:
+        es = seg_embs / (np.linalg.norm(seg_embs, axis=1, keepdims=True) + 1e-9)
     changed = True
+    did_split = False
     while changed and labels.max() + 1 < max_speakers:
         changed = False
         for c in range(int(labels.max()) + 1):
@@ -277,18 +294,56 @@ def refine_labels_by_windows(
             sub_cos, side = bisect_windows(e[widx])
             if sub_cos >= sub_cos_thr:
                 continue
-            # segment-majority side assignment
-            to_b = []
-            for s in member:
-                sw = side[seg_of_win[widx] == s]
-                if sw.size and sw.mean() < 0.5:
-                    to_b.append(s)
-            if not to_b or len(to_b) == len(member):
+            if es is not None and side.any() and (~side).any():
+                # side by the segment's own pooled embedding vs sub-centroids
+                c0 = e[widx][side].mean(0)
+                c1 = e[widx][~side].mean(0)
+                c0 /= np.linalg.norm(c0) + 1e-9
+                c1 /= np.linalg.norm(c1) + 1e-9
+                seg_side = (es[member] @ c1) > (es[member] @ c0)
+                # temporal-alternation veto: a real speaker pair inside one
+                # cluster ALTERNATES turns (measured 0.32-0.50 side-switch
+                # rate over time-sorted segments), while a slowly-drifting
+                # single speaker bisects along time (0.18-0.29) — the one
+                # statistic that separates the seed-41 false split
+                # (sub-cos 0.491, a single!) from true pairs at comparable
+                # sub-cos.  See STATUS.md 2026-08-19.
+                order_t = np.argsort(starts[member])
+                s_sorted = seg_side[order_t]
+                if len(s_sorted) > 1:
+                    alt = float(np.mean(s_sorted[1:] != s_sorted[:-1]))
+                    if alt < 0.30:
+                        continue
+                to_b = member[seg_side]
+            else:
+                # window-majority fallback (no segment embeddings given)
+                to_b = [s for s in member
+                        if (sw := side[seg_of_win[widx] == s]).size
+                        and sw.mean() < 0.5]
+                to_b = np.asarray(to_b, dtype=np.int64)
+            if len(to_b) == 0 or len(to_b) == len(member):
                 continue
-            labels[np.asarray(to_b)] = labels.max() + 1
-            changed = True
+            labels[to_b] = labels.max() + 1
+            changed = did_split = True
             if labels.max() + 1 >= max_speakers:
                 break
+    if did_split and es is not None and polish_iters > 0:
+        dur = (ends - starts).astype(np.float64)
+        for _ in range(polish_iters):
+            k = int(labels.max()) + 1
+            cents = np.zeros((k, es.shape[1]))
+            for j in range(k):
+                sel = labels == j
+                if sel.any():
+                    cents[j] = (es[sel] * dur[sel, None]).sum(0)
+            cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-9
+            new = (es @ cents.T).argmax(1).astype(labels.dtype)
+            if (new == labels).all():
+                break
+            labels = new
+        # polish can empty a cluster — relabel to contiguous 0..k-1
+        uniq, inv = np.unique(labels, return_inverse=True)
+        labels = inv.astype(labels.dtype)
     return labels
 
 

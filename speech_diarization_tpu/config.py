@@ -142,10 +142,23 @@ class ClusterConfig:
 @dataclass(frozen=True)
 class ResegConfig:
     """Frame-level reassignment + HMM smoothing
-    (reference: ``anti_stick_diarize.py:390-460``, ``diar_diag.py:231-247``)."""
+    (reference: ``anti_stick_diarize.py:390-460``, ``diar_diag.py:231-247``).
 
-    enabled: bool = True
-    win_s: float = 1.0
+    ``win_s``/``hop_s`` double as the DENSE GRID geometry (one grid serves
+    SCD + segment embeddings + reassignment).  Round-3 measurements
+    (2026-08-19, see STATUS.md): 2 s windows raise per-window embedding SNR
+    enough that (a) the bisection refine separates near-collided speaker
+    pairs cleanly and (b) window-level reassignment no longer adds value —
+    on the 6-file probe set every reassign variant (argmax / sticky-HMM /
+    margin-prior / score-smoothing) strictly *increased* confusion over the
+    refined cluster labels (e.g. 600 s seed-0: 0.62% off vs 1.57% best-on),
+    because with this encoder individual windows are noisier than pooled
+    segment embeddings even at 2 s (oracle-centroid window accuracy
+    0.87-0.97).  Resegmentation therefore defaults OFF; it remains a
+    first-class switch for encoders whose window evidence is sharper."""
+
+    enabled: bool = False
+    win_s: float = 2.0
     hop_s: float = 0.1
     hmm: bool = False                 # sticky-HMM Viterbi over scores
     hmm_self_loop: float = 0.995      # alpha at diar_diag.py:231

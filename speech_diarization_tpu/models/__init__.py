@@ -20,6 +20,7 @@ from .campp import CamPlusPlus, CamPlusPlusModel
 from .gtcrn import GTCRN, gtcrn_init_params
 from .zipenhancer import ZipEnhancerModel
 from .demix import DialogDemixer
+from .demucs_ref import HTDemucsRef
 from .registry import make_encoder, make_encoder_model, BACKENDS
 
 __all__ = [
@@ -43,6 +44,7 @@ __all__ = [
     "gtcrn_init_params",
     "ZipEnhancerModel",
     "DialogDemixer",
+    "HTDemucsRef",
     "make_encoder",
     "make_encoder_model",
     "BACKENDS",

@@ -220,7 +220,10 @@ class EcapaTdnn:
         sd = jnp.sqrt(jnp.clip(
             jnp.sum(a * (x32 - mu[:, :, None]) ** 2, axis=2), eps))
         stats = jnp.concatenate([mu, sd], axis=1)  # [B, 2CC]
+        return self._stats_to_emb(params, stats, train)
 
+    def _stats_to_emb(self, params: Params, stats: jax.Array,
+                      train: bool = False) -> jax.Array:
         pb = params["post_bn"]
         if train:
             stats = batch_norm_apply(
@@ -231,6 +234,78 @@ class EcapaTdnn:
             stats = batch_norm_apply(stats, pb["mean"], pb["var"], pb["gamma"], pb["beta"])
         emb = conv1d_torch(stats[:, :, None], params["fc_w"], params["fc_b"])[:, :, 0]
         return emb.astype(jnp.float32)
+
+    def asp_head_grid(
+        self,
+        params: Params,
+        x: jax.Array,      # [CC, T_f] whole-chunk trunk features
+        first_f: int,      # frame offset of window 0
+        hop_f: int,        # window hop in frames
+        win_f: int,        # window length in frames
+        n_windows: int,
+        train: bool = False,
+    ) -> jax.Array:
+        """Sliding-grid ASP, algebraically equal to ``asp_head`` over the
+        framed windows but restructured for HBM (BENCH r2 roofline: the grid
+        embed chunk measured 5% MFU at hbm_frac 1.07 — memory-bound):
+
+        * the global-context window statistics (mu, sd) come from two prefix
+          sums over ``T_f`` frames instead of reductions over the gathered
+          ``[W, CC, win_f]`` tensor (win/hop = 10x redundant reads);
+        * the attention pre-projection is a 1x1 conv over the *concat*
+          ``[x, mu, sd]`` — it distributes, so its ``x`` term is ONE shared
+          ``[A, T_f]`` matmul and the stats enter as a per-window additive
+          bias; the ``[W, 3CC, win_f]`` ctx tensor (the single largest HBM
+          object of the old path) is never materialized.
+
+        Equivalence is pinned by tests/test_streaming_ecapa.py.
+        """
+        eps = 1e-12
+        cc = x.shape[0]
+        dt = self.dtype
+        x32 = x.astype(jnp.float32)
+        starts = first_f + hop_f * np.arange(n_windows)
+
+        # per-window mean/std from prefix sums: O(T_f), not O(W * win_f)
+        cs1 = jnp.pad(jnp.cumsum(x32, axis=-1), ((0, 0), (1, 0)))
+        cs2 = jnp.pad(jnp.cumsum(x32 * x32, axis=-1), ((0, 0), (1, 0)))
+        s1 = cs1[:, starts + win_f] - cs1[:, starts]   # [CC, W]
+        s2 = cs2[:, starts + win_f] - cs2[:, starts]
+        mu_g = s1.T / win_f                            # [W, CC]
+        sd_g = jnp.sqrt(jnp.clip(s2.T / win_f - mu_g * mu_g, eps))
+
+        # attention conv, decomposed over the ctx concat
+        w1 = params["att_w1"][..., 0]                  # [A, 3CC]
+        w1x, w1m, w1s = w1[:, :cc], w1[:, cc:2 * cc], w1[:, 2 * cc:]
+        hx = jnp.einsum("ac,ct->at", w1x.astype(dt), x.astype(dt))  # [A, T_f]
+        bw = (mu_g.astype(dt) @ w1m.astype(dt).T
+              + sd_g.astype(dt) @ w1s.astype(dt).T
+              + params["att_b1"].astype(dt))           # [W, A]
+
+        idx = starts[:, None] + np.arange(win_f)[None, :]   # [W, win_f]
+        hxw = jnp.transpose(hx[:, idx], (1, 0, 2))          # [W, A, win_f]
+        a = jax.nn.relu(hxw + bw[:, :, None])
+        ab = params["att_bn"]
+        if train:
+            a = batch_norm_apply(
+                a, jnp.mean(a.astype(jnp.float32), axis=(0, 2)),
+                jnp.var(a.astype(jnp.float32), axis=(0, 2)),
+                ab["gamma"], ab["beta"],
+            )
+        else:
+            a = batch_norm_apply(a, ab["mean"], ab["var"], ab["gamma"], ab["beta"])
+        a = jnp.tanh(a)
+        e = jnp.einsum("ca,wat->wct", params["att_w2"][..., 0].astype(dt), a,
+                       preferred_element_type=jnp.float32)
+        e = e + params["att_b2"].astype(jnp.float32)[None, :, None]
+        a = jax.nn.softmax(e, axis=2)                  # [W, CC, win_f] f32
+
+        xw = x[:, idx].transpose(1, 0, 2)              # [W, CC, win_f] (dt)
+        mu = jnp.einsum("wct,wct->wc", a, xw.astype(jnp.float32))
+        m2 = jnp.einsum("wct,wct->wc", a, jnp.square(xw.astype(jnp.float32)))
+        sd = jnp.sqrt(jnp.clip(m2 - mu * mu, eps))
+        stats = jnp.concatenate([mu, sd], axis=1)      # [W, 2CC]
+        return self._stats_to_emb(params, stats, train)
 
 
 class EcapaModel:
@@ -293,13 +368,10 @@ class EcapaModel:
             sliding_mean_time(jnp.swapaxes(feats, 1, 2), win_f), 1, 2)
         x = self.net.trunk(params, feats, se_win=win_f)[0]  # [CC, T_f]
 
-        # frame the time axis into the window grid, then pool each window
-        from ..dsp.framing import frame_signal
-
         first = margin // mel_hop
         need_f = first + (n_windows - 1) * hop_f + win_f
         if x.shape[-1] < need_f:
             x = jnp.pad(x, ((0, 0), (0, need_f - x.shape[-1])))
-        xw = frame_signal(x, win_f, hop_f, pad_tail=False)  # [CC, n, win_f]
-        xw = jnp.swapaxes(xw, 0, 1)[first // hop_f:][:n_windows]  # [W, CC, win_f]
-        return self.net.asp_head(params, xw)
+        # decomposed sliding-grid ASP (no [W, 3CC, win_f] ctx materialization
+        # — the old frame_signal + asp_head path was HBM-bound, BENCH r2)
+        return self.net.asp_head_grid(params, x, first, hop_f, win_f, n_windows)

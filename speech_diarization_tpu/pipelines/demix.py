@@ -59,6 +59,32 @@ class EnsembleDemixer:
         max_shift_s: float = 0.5,
     ):
         self.model = model or DialogDemixer()
+        if param_sets is None and model is None:
+            # ported MVSEP-CDX23 HTDemucs checkpoints take precedence over
+            # the trained U-Net: drop the three `97d170e1-*.th` files from
+            # the reference release (dialog-demix.py:9-28) into weights/
+            # (or point SDTPU_DEMUCS_CKPTS at them, ':'-separated) and the
+            # faithful graph becomes the engine
+            import os
+
+            from ..utils.weights import WEIGHTS_ROOT
+
+            env = os.environ.get("SDTPU_DEMUCS_CKPTS", "")
+            ckpts = ([Path(p) for p in env.split(":") if p]
+                     or sorted(WEIGHTS_ROOT.glob("*.th")))
+            ckpts = [c for c in ckpts if c.exists()]
+            if ckpts:
+                from ..models.port_demucs import load_htdemucs
+
+                loaded = [load_htdemucs(c) for c in ckpts]
+                self.model = loaded[0][0]
+                if any(m.manifest() != self.model.manifest()
+                       for m, _ in loaded[1:]):
+                    raise ValueError(
+                        "demucs ensemble checkpoints disagree on architecture")
+                param_sets = [p for _, p in loaded]
+                log.info("demix: HTDemucs ensemble of %d ported checkpoints",
+                         len(param_sets))
         if param_sets is None:
             from ..utils.weights import prefer_weights
 

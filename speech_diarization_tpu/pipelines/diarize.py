@@ -443,6 +443,7 @@ class DiarizationPipeline:
                 labels = cluster_mod.refine_labels_by_windows(
                     labels, speech2, win_embs, starts_s, grid_win_s,
                     cfg.cluster.max_speakers, sub_cos_thr=refine_thr,
+                    seg_embs=seg_embs,
                 )
         speech2 = SegmentArray(speech2.starts, speech2.ends, labels)
         n_spk = int(labels.max()) + 1 if labels.size else 0
@@ -480,6 +481,10 @@ class DiarizationPipeline:
                 "window_starts_s": starts_s,
                 "segment_embeddings": seg_embs,
                 "labels": labels,
+                # per-stage segment snapshots (for stage-level DER attribution)
+                "stage_clustered": speech2,
+                "stage_merged": speech3,
+                "stage_reassigned": speech4,
             }
         return DiarizationResult(final, speech, num_speakers, diagnostics)
 

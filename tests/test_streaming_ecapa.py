@@ -65,6 +65,25 @@ def test_trunk_asp_split_is_pure_refactor():
     np.testing.assert_allclose(np.asarray(full), np.asarray(split), atol=1e-6)
 
 
+def test_asp_head_grid_matches_windowed_asp_head():
+    """The decomposed sliding-grid ASP (prefix-sum window stats + shared
+    attention-x term, models/ecapa.asp_head_grid) must equal asp_head over
+    the explicitly framed windows — it is an algebraic restructuring for
+    HBM, not a semantic change."""
+    from speech_diarization_tpu.dsp.framing import frame_signal
+
+    model, params = small_model()
+    cc = model.net.cat_channels
+    t_f, win_f, hop_f, first, n_win = 260, 101, 10, 20, 12
+    x = jnp.asarray(np.random.default_rng(1)
+                    .standard_normal((cc, t_f)).astype(np.float32))
+    xw = frame_signal(x, win_f, hop_f, pad_tail=False)
+    xw = jnp.swapaxes(xw, 0, 1)[first // hop_f:][:n_win]
+    old = model.net.asp_head(params, xw)
+    new = model.net.asp_head_grid(params, x, first, hop_f, win_f, n_win)
+    np.testing.assert_allclose(np.asarray(old), np.asarray(new), atol=1e-5)
+
+
 def test_streaming_chunk_stitching_invariance():
     """Different chunk sizes must give the same grid — margins cover the
     trunk receptive field + sliding-stat windows."""
@@ -73,6 +92,19 @@ def test_streaming_chunk_stitching_invariance():
     a = embed_windows_streaming(model, params, y, SR, 1.0, 0.1,
                                 windows_per_chunk=64)
     b = embed_windows_streaming(model, params, y, SR, 1.0, 0.1,
+                                windows_per_chunk=150)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=3e-4)
+
+
+def test_streaming_chunk_stitching_invariance_2s_grid():
+    """Same invariance at the round-3 default 2 s grid geometry (wider
+    sliding-stat spans eat more of the margin)."""
+    model, params = small_model()
+    y = jnp.asarray(speech_like(30.0, seed=1))
+    a = embed_windows_streaming(model, params, y, SR, 2.0, 0.1,
+                                windows_per_chunk=64)
+    b = embed_windows_streaming(model, params, y, SR, 2.0, 0.1,
                                 windows_per_chunk=150)
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=3e-4)
