@@ -60,6 +60,12 @@ def lloyd(x, k, iters=25):
         for j in range(k):
             if (lab == j).any():
                 centers[j] = x[lab == j].mean(0)
+            else:
+                # re-seed an emptied cluster to the point farthest from its
+                # assigned center (ADVICE r2: a stale center silently
+                # returns < k distinct labels)
+                far = d[np.arange(n), lab].argmax()
+                centers[j] = x[far]
     return lab
 
 
@@ -84,6 +90,8 @@ def cos_kmeans_refine(e, labels, k, dur, iters=10):
 def wacc(labels, truth, dur):
     from scipy.optimize import linear_sum_assignment
 
+    keep = truth >= 0  # pure-false-alarm segments carry -1 (ADVICE r2)
+    labels, truth, dur = labels[keep], truth[keep], dur[keep]
     m = max(labels.max(), truth.max()) + 1
     conf = np.zeros((m, m))
     for a, b, w in zip(labels, truth, dur):
@@ -113,6 +121,20 @@ def main():
         ref = cos_kmeans_refine(e, labels, max(k, labels.max() + 1), dur)
         a1 = wacc(ref, truth, dur)
         print(f"{name:12s} k={k} acc={a0:.4f} +cos-refine={a1:.4f}")
+
+    # the PRODUCTION algorithm, including pad-to-64 cyclic rows and zero
+    # sample weights (ADVICE r2: the unpadded float64 variants above can
+    # misattribute a padding-caused failure to bf16/chip)
+    from speech_diarization_tpu.cluster.spectral import _spectral_labels_np
+
+    e32 = embs.astype(np.float32)
+    n = len(e32)
+    n_pad = max(64, int(np.ceil(n / 64)) * 64)
+    idx = np.arange(n_pad) % n
+    w = (np.arange(n_pad) < n).astype(np.float32)
+    lab = _spectral_labels_np(e32[idx], w, 1, 8)[:n]
+    print(f"{'production':12s} k={lab.max() + 1} "
+          f"acc={wacc(lab, truth, dur):.4f} (padded+weighted)")
 
 
 if __name__ == "__main__":

@@ -27,7 +27,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dur", type=float, default=600.0)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--cpu", action="store_true", default=True)
+    # BooleanOptionalAction so --no-cpu runs the chip arm of the bf16/chip
+    # comparison (ADVICE r2: store_true+default=True could never run on chip)
+    ap.add_argument("--cpu", action=argparse.BooleanOptionalAction, default=True)
     args = ap.parse_args()
 
     import jax

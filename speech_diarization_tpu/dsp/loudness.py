@@ -131,6 +131,43 @@ def integrated_loudness(y: jax.Array, fs: int) -> jax.Array:
     return jnp.where(n_g > 0, lufs, -200.0)
 
 
+def integrated_loudness_host(y: np.ndarray, fs: int) -> float:
+    """Host (numpy/scipy) mirror of :func:`integrated_loudness` — exact IIR
+    cascade via ``lfilter`` + the same BS.1770-4 gating.
+
+    A host-side oracle for tests and offline tooling.  (It was briefly the
+    streamed-ingest gain source, but this host's f64 streaming throughput is
+    ~1 M samples/s — 6-19 s for a 10-minute file — so the streamed pipeline
+    meters per-chunk on device instead; see pipelines/diarize.py.)
+    Agreement with the device path is pinned by tests/test_pipeline.py.
+    """
+    from scipy import signal as sps
+
+    z = np.asarray(y, np.float64)
+    for b, a in k_weighting_coeffs(float(fs)):
+        z = sps.lfilter(b, a, z)
+    block = int(round(0.400 * fs))
+    hop = int(round(0.100 * fs))
+    if z.shape[-1] < block:
+        ms = float(np.mean(z * z))
+        return -0.691 + 10.0 * np.log10(max(ms, 1e-20))
+    n = (z.shape[-1] - block) // hop + 1
+    # energy per 400 ms block at 75% overlap from a cumulative sum (O(T))
+    cs = np.concatenate([[0.0], np.cumsum(z * z)])
+    starts = hop * np.arange(n)
+    msq = (cs[starts + block] - cs[starts]) / block
+    lb = -0.691 + 10.0 * np.log10(np.maximum(msq, 1e-20))
+    abs_gate = lb > -70.0
+    if not abs_gate.any():
+        return -200.0
+    mean_abs = msq[abs_gate].mean()
+    rel_thresh = -0.691 + 10.0 * np.log10(max(mean_abs, 1e-20)) - 10.0
+    gate = abs_gate & (lb > rel_thresh)
+    if not gate.any():
+        return -200.0
+    return -0.691 + 10.0 * np.log10(max(float(msq[gate].mean()), 1e-20))
+
+
 def loudness_normalize(
     y: jax.Array, fs: int, target_lufs: float = -18.0, clip: float = 0.99
 ) -> jax.Array:

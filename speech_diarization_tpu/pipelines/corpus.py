@@ -163,7 +163,14 @@ def corpus_diarize(
                 nxt_fut, nxt_ready = None, None
                 if nxt_item is not None:
                     if isinstance(nxt_item[1], (str, Path)):
+                        # path sources: the thread hides codec decode (real
+                        # host work) regardless of ingest mode
                         nxt_fut = prefetcher.submit(prefetch, nxt_item)
+                    elif pipe.streaming_capable():
+                        # in-memory arrays with streamed ingest: its chunked
+                        # async uploads ARE the prefetch — a second
+                        # whole-file upload would only double tunnel traffic
+                        nxt_ready = (nxt_item[0], nxt_item[1], None)
                     else:
                         nxt_ready = prefetch_inline(nxt_item)
                 idx, src, pre = cur

@@ -302,6 +302,189 @@ class DiarizationPipeline:
             return float("inf")  # empty/near-silent file: nothing to denoise
         return 10.0 * float(np.log10(p90 / max(p10, 1e-12 * p90 + 1e-30)))
 
+    # ------------------------------------------------------ streamed ingest --
+    # Chunk-pipelined ingest (round 3): the single-file wall on the axon
+    # tunnel was dominated by the serialized whole-file upload (~0.5 s for a
+    # 10-min file) followed by VAD + grid compute that could not start until
+    # the last byte landed.  Here the int16 waveform uploads in PAD_BUCKET
+    # chunks (async), the whole-file scalars the device preprocess needed
+    # (LUFS gain, DC mean, SNR probe) are computed on HOST underneath the
+    # transfers, and then ONE fused dispatch per chunk runs preprocess + VAD
+    # probs + frame energy + the embedding grid — chunk i's compute overlaps
+    # chunk i+1's transfer.  Shapes are constant (one trace), margins come
+    # from the neighbor chunks so the stitch is exact.
+
+    def _host_snr_db(self, x: np.ndarray) -> float:
+        """Host mirror of :meth:`_estimate_snr_db` (same 50 ms frames and
+        p95/p05 statistic) for the streamed path."""
+        frame = self._SNR_FRAME
+        t = (x.shape[-1] // frame) * frame
+        if t == 0:
+            return float("inf")
+        e = np.mean(np.square(x[:t].reshape(-1, frame)), axis=1)
+        p5, p95 = np.percentile(e, [5.0, 95.0])
+        if not np.isfinite(p95) or p95 <= 0.0:
+            return float("inf")
+        return 10.0 * float(np.log10(p95 / max(p5, 1e-12 * p95 + 1e-30)))
+
+    def _streamed_fused_fn(self, sr: int, u: int, m_l: int, m_r: int):
+        """Jitted (prev, cur, next, scale, gain, dc) -> (probs, energy, grid)
+        over one core chunk with real neighbor context."""
+        key = ("fused", sr, u, m_l, m_r)
+        if getattr(self, "_fused_key", None) == key:
+            return self._fused_fn
+        cfg = self.cfg
+        hop_v = int(round(cfg.vad.hop_ms / 1000.0 * sr))
+        grid_win = int(round(cfg.reseg.win_s * sr))
+        grid_hop = int(round(cfg.reseg.hop_s * sr))
+        wpc = u // grid_hop
+        f0, f1 = m_l // hop_v, m_l // hop_v + u // hop_v
+        model, params = self._grid_model, self._grid_params
+        vad_fn = self.vad_probs_fn
+        acfg = cfg.audio
+        want_energy = cfg.vad.energy_floor_db is not None
+
+        def fused(c_prev, c_cur, c_next, scale, n_valid):
+            y3 = jnp.concatenate([c_prev[-m_l:], c_cur, c_next[:m_r]])
+            y3 = y3.astype(jnp.float32) * (scale / 32767.0)
+            if acfg.target_lufs is not None:
+                # per-chunk gated loudness over the chunk's CORE samples —
+                # the whole-file meter would make every chunk's compute wait
+                # for the last upload (and the host mirror measured 6-19 s
+                # on this 1-core box: f64 lfilter/cumsum run at ~1 M/s).
+                # The encoder is gain-invariant (log-mel sliding mean-norm),
+                # the VAD is level-augmented, and single-chunk files (<= the
+                # 60 s bucket) are exactly the whole-file meter.
+                from ..dsp.loudness import integrated_loudness
+
+                lufs = integrated_loudness(y3[m_l:m_l + u], sr)
+                gain = 10.0 ** ((acfg.target_lufs - lufs) / 20.0)
+                gain = jnp.where(lufs <= -199.0, 1.0, gain)
+                y3 = jnp.clip(y3 * gain, -0.99, 0.99)
+            if acfg.remove_dc:
+                core = y3[m_l:m_l + u]
+                y3 = y3 - jnp.sum(core) / jnp.maximum(n_valid, 1.0)
+            if acfg.preemphasis is not None:
+                from ..dsp.preprocess import preemphasis
+
+                y3 = preemphasis(y3, acfg.preemphasis)
+            y3 = jnp.clip(y3, -0.99, 0.99)
+            probs = vad_fn(y3[None])[0, f0:f1]
+            energy = None
+            if want_energy:
+                energy = frame_energy_db_chunk(
+                    y3[None], hop=hop_v, n_extra=1)[0, f0:f1]
+            grid = model.encode_grid_chunk(params, y3, wpc, m_l,
+                                           grid_win, grid_hop)
+            return (probs, energy, grid) if want_energy else (probs, grid)
+
+        self._fused_key = key
+        self._fused_fn = jax.jit(fused)
+        return self._fused_fn
+
+    def streaming_capable(self) -> bool:
+        """True when host-array/path sources will take the streamed
+        chunk-pipelined ingest (callers like the corpus worker then skip
+        their own whole-file prefetch — the streamed path's chunked async
+        uploads ARE the prefetch, and a second 2x-size whole-file upload
+        only adds tunnel traffic)."""
+        cfg = self.cfg
+        model = self._grid_model
+        return (cfg.embed.mode == "grid"
+                and model is not None
+                and hasattr(model, "encode_grid_chunk")
+                and getattr(model, "streaming_trained", False)
+                and cfg.embed.grid_backend in ("auto", "streaming"))
+
+    def _streamed_stages(self, y: np.ndarray, sr: int):
+        """Returns (probs, energy_db, win_embs, starts_s, total_s) or None
+        when this source/config cannot take the streamed path."""
+        cfg = self.cfg
+        if not self.streaming_capable():
+            return None
+        mel_hop = sr * 10 // 1000
+        grid_win = int(round(cfg.reseg.win_s * sr))
+        grid_hop = int(round(cfg.reseg.hop_s * sr))
+        hop_v = int(round(cfg.vad.hop_ms / 1000.0 * sr))
+        u = int(self._PAD_BUCKET_S * sr)
+        if (grid_win % mel_hop or grid_hop % mel_hop or u % grid_hop
+                or u % hop_v):
+            return None
+        m_l = 4 * sr  # >= trunk receptive field + sliding-stat window
+        m_l = -(-m_l // grid_hop) * grid_hop
+        m_r = m_l + grid_win - grid_hop
+        if m_l % hop_v or u < m_r:
+            return None
+
+        t = int(y.shape[-1])
+        n_chunks = max(1, -(-t // u))
+        q, scale = self._quantize_host(np.asarray(y, np.float32), n_chunks * u)
+        # async uploads first; host stats run underneath the transfers
+        zero = getattr(self, "_zero_chunk", None)
+        if zero is None or zero.shape[0] != u:
+            zero = self._zero_chunk = jax.device_put(np.zeros(u, np.int16))
+        chunks = [jax.device_put(q[i * u:(i + 1) * u]) for i in range(n_chunks)]
+
+        if self.enhance_fn is not None:
+            scope = self.cfg.enhance.scope
+            if scope != "auto":
+                return None  # enhancement forced on: take the legacy path
+            # cheap f32 host probe (0.03 s for 10 min; the f64 DSP mirrors
+            # measured 6-19 s on this host — see the fused-fn comment)
+            x = q[:t].astype(np.float32) * (scale / 32767.0)
+            if self._host_snr_db(x) < cfg.enhance.auto_snr_db:
+                return None  # enhancement engaged: take the legacy path
+
+        fused = self._streamed_fused_fn(sr, u, m_l, m_r)
+        s = jnp.float32(scale)
+        want_energy = cfg.vad.energy_floor_db is not None
+        outs = []
+        for i in range(n_chunks):
+            prev = chunks[i - 1] if i > 0 else zero
+            nxt = chunks[i + 1] if i + 1 < n_chunks else zero
+            n_valid = jnp.float32(min(u, t - i * u))
+            outs.append(fused(prev, chunks[i], nxt, s, n_valid))
+
+        from ..dsp.framing import num_frames as _nf
+
+        # ONE device-side concat + ONE flat pull: pulling the 3 x n_chunks
+        # small outputs separately paid a ~25 ms tunnel round trip EACH
+        # (measured 0.9 s for 3.5 MB at 600 s — the new long pole once the
+        # uploads overlapped compute)
+        per = 3 if want_energy else 2
+        pack_key = (n_chunks, want_energy)
+        packers = getattr(self, "_pack_fns", None)
+        if packers is None:
+            packers = self._pack_fns = {}
+        if pack_key not in packers:
+
+            def pack(*flat):
+                rows = [flat[i * per:(i + 1) * per] for i in range(n_chunks)]
+                parts = [jnp.concatenate([r[0] for r in rows])]
+                if want_energy:
+                    parts.append(jnp.concatenate([r[1] for r in rows]))
+                grid = jnp.concatenate([r[-1] for r in rows])
+                parts.append(grid.reshape(-1).astype(jnp.float32))
+                return jnp.concatenate(parts)
+
+            packers[pack_key] = jax.jit(pack)
+        flat_args = [a for o in outs for a in o]
+        emb_dim = outs[0][-1].shape[-1]
+        flat = np.asarray(packers[pack_key](*flat_args))
+
+        n_frames = t // hop_v + 1
+        w_total = _nf(t, grid_win, grid_hop, pad_tail=True)
+        fpc = u // hop_v
+        probs = flat[:n_chunks * fpc][:n_frames]
+        off = n_chunks * fpc
+        energy = None
+        if want_energy:
+            energy = flat[off:off + n_chunks * fpc][:n_frames]
+            off += n_chunks * fpc
+        grid = flat[off:].reshape(-1, emb_dim)[:w_total]
+        starts_s = window_starts(t, sr, cfg.reseg.win_s, cfg.reseg.hop_s) / sr
+        return probs, energy, grid, starts_s, t / sr
+
     # ----------------------------------------------------------------- vad --
     def vad_probs(self, y: jnp.ndarray, sr: int, defer: bool = False):
         hop = int(round(self.cfg.vad.hop_ms / 1000.0 * sr))
@@ -321,6 +504,37 @@ class DiarizationPipeline:
 
     # ---------------------------------------------------------------- main --
     def __call__(self, source, collect_diagnostics: bool = False) -> DiarizationResult:
+        cfg = self.cfg
+        sr = cfg.audio.sample_rate
+
+        # streamed chunk-pipelined ingest (see the section comment above):
+        # host-array / path sources with the streaming grid engaged skip the
+        # whole-file upload barrier entirely
+        y_host = None
+        if isinstance(source, np.ndarray):
+            y_host = source
+        elif (isinstance(source, tuple) and len(source) == 2
+              and isinstance(source[0], np.ndarray) and source[1] == sr):
+            y_host = source[0]
+        elif isinstance(source, (str, bytes)) or hasattr(source, "__fspath__"):
+            y_dec, dec_sr = read_audio(source, target_sr=sr, mono=True)
+            y_host, source = y_dec, (y_dec, dec_sr)
+        if y_host is not None and not collect_diagnostics:
+            with stage_timer(log, "streamed-ingest"):
+                st = self._streamed_stages(np.asarray(y_host, np.float32), sr)
+            if st is not None:
+                probs, energy_db, win_embs, starts_s, total_s = st
+                with stage_timer(log, "vad-post"):
+                    speech = vad_segments_from_probs(
+                        probs, cfg.vad, frame_energy_db=energy_db)
+                if len(speech) == 0:
+                    empty = SegmentArray.from_pairs([])
+                    return DiarizationResult(empty, empty, 0)
+                return self._segments_from_grid(
+                    speech, probs, win_embs, starts_s, total_s, {})
+        return self._legacy_call(source, collect_diagnostics)
+
+    def _legacy_call(self, source, collect_diagnostics: bool = False) -> DiarizationResult:
         cfg = self.cfg
         sr = cfg.audio.sample_rate
 
@@ -393,6 +607,19 @@ class DiarizationPipeline:
         with stage_timer(log, "embed-grid"):
             win_embs = embed_finish()
             starts_s = window_starts(y.shape[-1], sr, grid_win_s, grid_hop_s) / sr
+
+        return self._segments_from_grid(
+            speech, probs, win_embs, starts_s, total_s,
+            dict(collect=collect_diagnostics), y=y, sr=sr)
+
+    def _segments_from_grid(self, speech, probs, win_embs, starts_s, total_s,
+                            diag, y=None, sr=None) -> DiarizationResult:
+        """Shared SCD → embed → cluster → refine → merge → (reseg) tail,
+        fed by either the streamed or the legacy grid path."""
+        cfg = self.cfg
+        grid_win_s = cfg.reseg.win_s
+        grid_hop_s = cfg.reseg.hop_s
+        collect_diagnostics = bool(diag.get("collect"))
 
         # SCD at its own hop = a stride over the shared grid
         speech2 = speech

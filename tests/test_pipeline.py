@@ -246,3 +246,78 @@ class TestPrefetchPath:
             jnp.asarray(np.pad(wave, (0, t_pad - t))), jnp.float32(t), 16000)[:t]
         np.testing.assert_allclose(
             np.asarray(y16), np.asarray(yf), atol=2e-4)
+
+
+@pytest.mark.slow
+class TestStreamedIngest:
+    """Chunk-pipelined ingest (round 3): the fused per-chunk
+    preprocess+VAD+energy+grid dispatch must reproduce the legacy whole-file
+    path segment-for-segment, and the host BS.1770 meter must agree with the
+    device meter (the streamed path's gain comes from the host)."""
+
+    def test_streamed_equals_legacy(self):
+        from functools import partial
+        from pathlib import Path
+
+        import jax
+
+        from speech_diarization_tpu.config import ClusterConfig, DiarizationConfig
+        from speech_diarization_tpu.pipelines.diarize import DiarizationPipeline
+        from speech_diarization_tpu.train.recipes import load_speaker_encoder, load_vad
+        from speech_diarization_tpu.train.synthetic import make_conversation
+        from speech_diarization_tpu.utils.weights import (
+            ENCODER_PREFERENCE, prefer_weights,
+        )
+
+        enc = prefer_weights(ENCODER_PREFERENCE)
+        vadw = prefer_weights(("vad_conv_mc.npz", "vad_conv_synthetic.npz"))
+        if enc is None or vadw is None:
+            pytest.skip("shipped weights missing")
+        model, params = load_speaker_encoder(enc)
+        if not getattr(model, "streaming_trained", False):
+            pytest.skip("default encoder is not streaming-trained")
+        vad, vp = load_vad(vadw)
+        pipe = DiarizationPipeline(
+            DiarizationConfig(cluster=ClusterConfig(max_speakers=8)),
+            encoder=(model, params),
+            vad_probs_fn=jax.jit(partial(vad.probs, vp)))
+        from speech_diarization_tpu.metrics import diarization_error_rate
+
+        # single-chunk file (<= the 60 s bucket): the per-chunk loudness
+        # meter IS the whole-file meter, so the paths agree segment-exactly
+        wave, _ = make_conversation(np.random.default_rng(4), 45.0,
+                                    n_speakers=2, sr=16000)
+        w = (np.asarray(wave, np.float32), 16000)
+        st = pipe._streamed_stages(w[0], 16000)
+        assert st is not None  # the streamed path must actually engage
+        a = pipe(w)
+        b = pipe._legacy_call(w)
+        assert len(a.segments) == len(b.segments)
+        np.testing.assert_allclose(a.segments.starts, b.segments.starts, atol=1e-6)
+        np.testing.assert_allclose(a.segments.ends, b.segments.ends, atol=1e-6)
+        np.testing.assert_array_equal(a.segments.spks, b.segments.spks)
+
+        # multi-chunk file: per-chunk gain differs from the whole-file gain
+        # by design, so require agreement at the diarization level (the
+        # encoder is gain-invariant, the VAD level-augmented)
+        wave, _ = make_conversation(np.random.default_rng(11), 130.0,
+                                    n_speakers=3, sr=16000)
+        w = (np.asarray(wave, np.float32), 16000)
+        a = pipe(w)
+        b = pipe._legacy_call(w)
+        cross = diarization_error_rate(b.segments, a.segments, collar_s=0.0)
+        assert cross.der < 0.02, cross
+
+    def test_host_loudness_matches_device(self):
+        import jax.numpy as jnp
+
+        from speech_diarization_tpu.dsp.loudness import (
+            integrated_loudness, integrated_loudness_host,
+        )
+        from speech_diarization_tpu.train.synthetic import make_conversation
+
+        wave, _ = make_conversation(np.random.default_rng(5), 20.0,
+                                    n_speakers=2, sr=16000)
+        dev = float(integrated_loudness(jnp.asarray(wave, jnp.float32), 16000))
+        host = integrated_loudness_host(np.asarray(wave, np.float32), 16000)
+        assert abs(dev - host) < 0.05, (dev, host)
