@@ -314,6 +314,18 @@ def refine_labels_by_windows(
                     alt = float(np.mean(s_sorted[1:] != s_sorted[:-1]))
                     if alt < 0.30:
                         continue
+                # side-purity veto: for a real pair every segment's windows
+                # agree on a side (measured mean purity 0.997-1.000), while
+                # false splits of drifting/noisy singles flip sides within
+                # segments (0.948-0.989 — e.g. the indomain seed-1002 single
+                # at sub-cos 0.644, purity 0.987).
+                purs = []
+                for s in member:
+                    sw = side[seg_of_win[widx] == s]
+                    if sw.size:
+                        purs.append(max(sw.mean(), 1.0 - sw.mean()))
+                if purs and float(np.mean(purs)) < 0.995:
+                    continue
                 to_b = member[seg_side]
             else:
                 # window-majority fallback (no segment embeddings given)

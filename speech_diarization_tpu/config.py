@@ -137,6 +137,14 @@ class ClusterConfig:
     # declares <= 0 (no measured single/merged separation on its cosine
     # scale) disables the refine stage unless this override says otherwise.
     refine_sub_cos: float | None = None
+    # refine-splitting trusts window-level statistics that were calibrated
+    # on clean audio; under heavy noise the bisection sub-cos band of true
+    # SINGLES drops into the pair band (babble@15 dB: a single bisected at
+    # 0.466 with purity 1.0 — unvetoable locally) and splits become
+    # over-splits.  When the pipeline has an SNR estimate for the file
+    # (the enhance-auto probe), refine only runs above this floor; files
+    # without an estimate keep refine on.  None disables the gate.
+    refine_min_snr_db: float | None = 25.0
 
 
 @dataclass(frozen=True)

@@ -241,6 +241,7 @@ class DiarizationPipeline:
             engage = True
             if scope == "auto":
                 snr = self._estimate_snr_db(yd, t)
+                self._last_snr_db = snr
                 engage = snr < self.cfg.enhance.auto_snr_db
                 log.info("enhance auto-scope: est SNR %.1f dB (thr %.1f) "
                          "-> %s", snr, self.cfg.enhance.auto_snr_db,
@@ -425,15 +426,16 @@ class DiarizationPipeline:
             zero = self._zero_chunk = jax.device_put(np.zeros(u, np.int16))
         chunks = [jax.device_put(q[i * u:(i + 1) * u]) for i in range(n_chunks)]
 
-        if self.enhance_fn is not None:
-            scope = self.cfg.enhance.scope
-            if scope != "auto":
-                return None  # enhancement forced on: take the legacy path
-            # cheap f32 host probe (0.03 s for 10 min; the f64 DSP mirrors
-            # measured 6-19 s on this host — see the fused-fn comment)
-            x = q[:t].astype(np.float32) * (scale / 32767.0)
-            if self._host_snr_db(x) < cfg.enhance.auto_snr_db:
-                return None  # enhancement engaged: take the legacy path
+        if self.enhance_fn is not None and self.cfg.enhance.scope != "auto":
+            return None  # enhancement forced on: take the legacy path
+        # cheap f32 host probe (0.03 s for 10 min; the f64 DSP mirrors
+        # measured 6-19 s on this host) — gates enhance-auto AND the
+        # noise-sensitive refine splitting (ClusterConfig.refine_min_snr_db)
+        x = q[:t].astype(np.float32) * (scale / 32767.0)
+        self._last_snr_db = self._host_snr_db(x)
+        if (self.enhance_fn is not None
+                and self._last_snr_db < cfg.enhance.auto_snr_db):
+            return None  # enhancement engaged: take the legacy path
 
         fused = self._streamed_fused_fn(sr, u, m_l, m_r)
         s = jnp.float32(scale)
@@ -506,6 +508,7 @@ class DiarizationPipeline:
     def __call__(self, source, collect_diagnostics: bool = False) -> DiarizationResult:
         cfg = self.cfg
         sr = cfg.audio.sample_rate
+        self._last_snr_db = None  # per-file; a stale estimate must not gate
 
         # streamed chunk-pipelined ingest (see the section comment above):
         # host-array / path sources with the streaming grid engaged skip the
@@ -664,8 +667,15 @@ class DiarizationPipeline:
                 from ..cluster.spectral import _SPLIT_MAX_CENT_COS
 
                 refine_thr = _SPLIT_MAX_CENT_COS
+            snr = getattr(self, "_last_snr_db", None)
+            snr_floor = cfg.cluster.refine_min_snr_db
+            snr_ok = (snr is None or snr_floor is None or snr >= snr_floor)
+            if not snr_ok:
+                log.info("refine: skipped (est SNR %.1f dB < %.1f floor — "
+                         "window statistics untrustworthy under noise)",
+                         snr, snr_floor)
             if (cfg.cluster.refine_splits and refine_thr > 0
-                    and len(speech2) > 1
+                    and len(speech2) > 1 and snr_ok
                     and cfg.cluster.method == "spectral"):
                 labels = cluster_mod.refine_labels_by_windows(
                     labels, speech2, win_embs, starts_s, grid_win_s,
