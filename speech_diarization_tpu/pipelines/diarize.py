@@ -147,12 +147,13 @@ class DiarizationPipeline:
                     "stage disabled (pass EnhanceConfig.weights to force)",
                     e.backend)
             else:
-                kwargs = (
-                    {"chunk_s": e.chunk_s, "overlap_s": e.overlap_s}
-                    if e.backend == "gtcrn"
-                    else {"window_s": e.window_s, "hop_ratio": e.hop_ratio,
-                          "batch_size": e.batch_size}
-                )
+                if e.backend == "gtcrn":
+                    kwargs = {"chunk_s": e.chunk_s, "overlap_s": e.overlap_s}
+                elif e.backend == "demix-dialog":
+                    kwargs = {}
+                else:
+                    kwargs = {"window_s": e.window_s, "hop_ratio": e.hop_ratio,
+                              "batch_size": e.batch_size}
                 enhance_fn = make_enhance_fn(e.backend, weights=e.weights,
                                              **kwargs)
         self.enhance_fn = enhance_fn

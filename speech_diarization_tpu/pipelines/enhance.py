@@ -183,6 +183,7 @@ def default_weights_path(backend: str):
     return prefer_weights({
         "gtcrn": ("gtcrn_mc.npz", "gtcrn_synthetic.npz"),
         "zipenhancer": ("zipenhancer_mc.npz", "zipenhancer_synthetic.npz"),
+        "demix-dialog": ("demix_mc.npz", "demix_synthetic.npz"),
     }.get(backend, ()))
 
 
@@ -261,4 +262,30 @@ def make_enhance_fn(backend: str, params=None, weights=None, **kwargs) -> Callab
             params = model.init(jax.random.PRNGKey(0))
         fwd = jax.jit(partial(model.apply, params))
         return lambda y: jnp.asarray(windowed_enhance(fwd, y, **kwargs))
+    if backend == "demix-dialog":
+        # SEPARATION front-end: dialog stem of the demixer ensemble.  Under
+        # competing speech (babble) denoisers cannot help — they preserve
+        # the interfering *speech* — but source separation can: measured
+        # 2026-08-19 (scripts/exp_babble_frontend.py, 60 s x 3/SNR):
+        # babble@5 dB DER 26.8% -> 14.6%, babble@15 dB 5.4% -> 4.9%, while
+        # ZipEnhancer-as-frontend made both WORSE (59%/12% — it distorts
+        # speaker identity).  Opt-in (EnhanceConfig.backend='demix-dialog');
+        # 16 kHz mono -> 44.1 kHz stereo -> dialog stem -> 16 kHz.
+        from ..dsp.resample import resample_host
+        from .demix import DEMIX_SR, EnsembleDemixer
+
+        dmx = EnsembleDemixer(**kwargs)
+        sr = 16000
+
+        def fe(y):
+            yn = np.asarray(y, np.float32)
+            up = resample_host(yn, sr, DEMIX_SR)
+            stems = dmx.separate(np.stack([up, up]), DEMIX_SR)
+            dialog = stems[2].mean(axis=0)
+            out = resample_host(dialog, DEMIX_SR, sr).astype(np.float32)
+            if out.shape[-1] < yn.shape[-1]:
+                out = np.pad(out, (0, yn.shape[-1] - out.shape[-1]))
+            return jnp.asarray(out[: yn.shape[-1]])
+
+        return fe
     raise ValueError(f"unknown enhancement backend: {backend}")

@@ -278,3 +278,17 @@ class TestAutoScope:
             assert snr(y) > thr + 5.0
         for y in noisy:
             assert snr(y) < thr - 5.0
+
+
+@pytest.mark.slow
+def test_demix_dialog_frontend_shape():
+    """The separation front-end (EnhanceConfig.backend='demix-dialog') must
+    return a same-length 16 kHz mono waveform — measured to rescue babble@5
+    (DER 26.8% -> 14.6%, scripts/exp_babble_frontend.py 2026-08-19)."""
+    from speech_diarization_tpu.pipelines.enhance import make_enhance_fn
+
+    fe = make_enhance_fn("demix-dialog")
+    y = np.random.default_rng(0).standard_normal(16000).astype(np.float32)
+    out = np.asarray(fe(y))
+    assert out.shape == y.shape
+    assert np.all(np.isfinite(out))
