@@ -1,0 +1,162 @@
+"""Sliding-grid attentive-stats pooling as a fused Pallas kernel.
+
+The streaming embed grid (``EcapaModel.encode_grid_chunk``) is the
+pipeline's hottest dispatch; BENCH r2/r3 rooflines put it HBM-bound
+(hbm_frac > 1, 2.7% MFU).  The decomposed jnp path
+(``EcapaTdnn.asp_head_grid``) already avoids the ``[W, 3CC, win_f]`` ctx
+tensor, but it still materializes the per-window attention logits and
+weights ``[W, CC, win_f]`` in HBM (two f32 tensors of ~370 MB each at the
+production chunk shape W=600, CC=768, win_f=201) plus the gathered window
+features — several GB of traffic for 36 GFLOPs of work.
+
+This kernel runs the whole per-window chain — attention pre-projection,
+BatchNorm, tanh, logits, softmax, weighted mean/std — in VMEM, writing only
+the [W, CC] mu/sd stats to HBM.  HBM traffic drops to ~one strided read of
+the trunk features (plus the tiny stats), an ~20x reduction.
+
+Layout notes (axon-Mosaic constraints mirror ops/pallas/fused_fbank.py):
+
+* Trunk features are passed time-major ``[T_f, CC]`` and stay in HBM
+  (``pl.ANY``); each program DMAs the row span covering its ``wb`` windows.
+  Window starts are ``hop_f`` rows apart, so consecutive programs' spans
+  OVERLAP — BlockSpec index maps cannot express that, hence the manual
+  async copy.  ``wb`` is chosen so the DMA row offset (``wb * hop_f``) is
+  a multiple of the bf16 sublane tile (16).
+* Windows inside a block are selected by ROW MASKS on the full span
+  (static per unrolled window, -inf outside before the softmax), not by
+  sub-slices — span-row offsets (multiples of ``hop_f``) are not
+  sublane-aligned, masked compute is.
+* The attention pre-projection ``hx = x @ w1x.T`` is recomputed per block
+  from the VMEM-resident span (one extra [span, CC] @ [CC, A] dot) instead
+  of DMA-ing a second HBM stream.
+
+Reference semantics: SpeechBrain AttentiveStatisticsPooling
+(``speech_encode.py:64-78`` consumes it inside ECAPA); numerically matched
+to ``EcapaTdnn.asp_head_grid`` by tests/test_asp_grid_pallas.py.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _asp_kernel(x_hbm, bw_ref, w1xt_ref, sbn_ref, tbn_ref, w2t_ref, b2_ref,
+                mu_ref, sd_ref, x_vmem, sem, *,
+                wb: int, hop_f: int, win_f: int, span: int):
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * wb * hop_f, span), :], x_vmem, sem)
+    dma.start()
+    dma.wait()
+
+    xb = x_vmem[:]                                     # [span, ccp] bf16
+    # shared attention pre-projection for every window in the block
+    hblk = jnp.dot(xb, w1xt_ref[:],
+                   preferred_element_type=jnp.float32)  # [span, ap]
+    x32 = xb.astype(jnp.float32)
+    x32sq = x32 * x32
+    rows = jax.lax.broadcasted_iota(jnp.int32, (span, 1), 0)
+    sbn = sbn_ref[0, :][None, :]
+    tbn = tbn_ref[0, :][None, :]
+    b2 = b2_ref[0, :][None, :]
+    for j in range(wb):                                # static unroll
+        h = hblk + bw_ref[j, :][None, :]
+        # folded inference BatchNorm (scale/shift) + tanh
+        a = jnp.tanh(jnp.maximum(h, 0.0) * sbn + tbn)
+        e = jnp.dot(a.astype(jnp.bfloat16), w2t_ref[:],
+                    preferred_element_type=jnp.float32) + b2  # [span, ccp]
+        valid = (rows >= j * hop_f) & (rows < j * hop_f + win_f)
+        e = jnp.where(valid, e, -jnp.inf)
+        m = jnp.max(e, axis=0, keepdims=True)
+        p = jnp.exp(e - m)                             # 0 on masked rows
+        z = jnp.sum(p, axis=0, keepdims=True)
+        pz = p / z
+        mu = jnp.sum(pz * x32, axis=0)                 # [ccp]
+        m2 = jnp.sum(pz * x32sq, axis=0)
+        mu_ref[j, :] = mu
+        sd_ref[j, :] = jnp.sqrt(jnp.clip(m2 - mu * mu, 1e-12, None))
+
+
+def asp_grid_stats(
+    x: jax.Array,        # [CC, T_f] trunk features (any float dtype)
+    bw: jax.Array,       # [W, A] f32 per-window stats bias (incl. b1)
+    w1x: jax.Array,      # [A, CC] attention pre-projection (x part)
+    s_bn: jax.Array,     # [A] folded BN scale
+    t_bn: jax.Array,     # [A] folded BN shift
+    w2: jax.Array,       # [CC, A] logits projection
+    b2: jax.Array,       # [CC] logits bias
+    first_f: int,
+    hop_f: int,
+    win_f: int,
+    n_windows: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-window attentive stats [W, 2*CC] f32 (mu ++ sd)."""
+    cc, t_f = x.shape
+    a_dim = w1x.shape[0]
+    ccp = _round_up(cc, 128)
+    ap = _round_up(a_dim, 128)
+    # block size: smallest window count whose row stride is 16-aligned
+    wb = 8
+    while (wb * hop_f) % 16:
+        wb += 1
+    n_prog = -(-n_windows // wb)
+    w_pad = n_prog * wb
+    span = _round_up(win_f + (wb - 1) * hop_f, 16)
+
+    rows_needed = (n_prog - 1) * wb * hop_f + span
+    x_t = jnp.swapaxes(x, 0, 1).astype(jnp.bfloat16)   # [T_f, CC]
+    x_t = x_t[first_f:]
+    pad_r = max(0, rows_needed - x_t.shape[0])
+    if pad_r or ccp != cc:
+        x_t = jnp.pad(x_t, ((0, pad_r), (0, ccp - cc)))
+    x_t = x_t[:rows_needed]
+
+    bw_p = jnp.pad(bw.astype(jnp.float32),
+                   ((0, w_pad - n_windows), (0, ap - a_dim)))
+    w1xt = jnp.pad(jnp.swapaxes(w1x, 0, 1).astype(jnp.bfloat16),
+                   ((0, ccp - cc), (0, ap - a_dim)))
+    w2t = jnp.pad(jnp.swapaxes(w2, 0, 1).astype(jnp.bfloat16),
+                  ((0, ap - a_dim), (0, ccp - cc)))
+    sbn = jnp.pad(s_bn.astype(jnp.float32), (0, ap - a_dim))[None, :]
+    tbn = jnp.pad(t_bn.astype(jnp.float32), (0, ap - a_dim))[None, :]
+    b2p = jnp.pad(b2.astype(jnp.float32), (0, ccp - cc))[None, :]
+
+    kernel = partial(_asp_kernel, wb=wb, hop_f=hop_f, win_f=win_f, span=span)
+    mu, sd = pl.pallas_call(
+        kernel,
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),          # x_t stays in HBM
+            pl.BlockSpec((wb, ap), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1xt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(sbn.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tbn.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b2p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((wb, ccp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, ccp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((w_pad, ccp), jnp.float32),
+            jax.ShapeDtypeStruct((w_pad, ccp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((span, ccp), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(x_t, bw_p, w1xt, sbn, tbn, w2t, b2p)
+    return jnp.concatenate(
+        [mu[:n_windows, :cc], sd[:n_windows, :cc]], axis=1)

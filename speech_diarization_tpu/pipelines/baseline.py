@@ -67,9 +67,12 @@ class Diarizer:
             model = SegmentationModel()
             from ..utils.weights import WEIGHTS_ROOT, prefer_weights
 
+            # ow3 = overlap-weighted PIT-CE warm continuation (8000 chip
+            # steps): best-perm 0.861 indomain / 0.747 overlapped frames vs
+            # powerset 0.857/0.715 (scripts/eval_segmentation.py, 2026-08-19)
             seg_weights = seg_weights or prefer_weights(
-                ("segmentation_powerset.npz", "segmentation_mc.npz",
-                 "segmentation_synthetic.npz")
+                ("segmentation_ow3.npz", "segmentation_powerset.npz",
+                 "segmentation_mc.npz", "segmentation_synthetic.npz")
             ) or WEIGHTS_ROOT / "segmentation_synthetic.npz"
             if Path(seg_weights).exists():
                 from ..train.recipes import load_segmentation

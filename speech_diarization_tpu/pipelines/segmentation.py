@@ -69,6 +69,18 @@ class SegmentationConfig:
     min_speakers: int = 1
     max_speakers: int = 8
     merge_gap_s: float = 0.5
+    # Purity-masked slot embeddings: weight each grid window by the slot's
+    # EXCLUSIVE activity (act_k * prod_j!=k (1 - act_j)) over the window's
+    # frames, so a slot segment that spans an overlapped region pools its
+    # embedding from the frames where its speaker talks ALONE.  This is the
+    # pyannote-3.1 idea of masked (chunk, speaker) embeddings — without it,
+    # overlapped slot segments embed a 2-speaker mixture and the global
+    # clustering confuses them (measured: conf 19.2% -> see STATUS).
+    masked_embeddings: bool = True
+    # global clustering backend over slot-segment embeddings: "ahc"
+    # (threshold agglomerative, the pyannote default) or "spectral" (the
+    # flagship's sharpened-affinity eigengap backend).
+    cluster_method: str = "ahc"
 
 
 def _binarize_activity(act: np.ndarray, cfg: SegmentationConfig) -> list[tuple[int, int]]:
@@ -132,6 +144,69 @@ def aggregate_chunk_activities(
     return (agg / np.maximum(wsum, 1e-9)).astype(np.float32)
 
 
+def _exclusive_activity(act: np.ndarray) -> np.ndarray:
+    """[F, K] slot activities -> [F, K] exclusive activities
+    (slot k active AND every other slot silent)."""
+    one_minus = 1.0 - act
+    prod_all = one_minus.prod(axis=-1, keepdims=True)
+    # prod over j != k, numerically safe where (1 - act_j) ~ 0
+    return act * prod_all / np.maximum(one_minus, 1e-6)
+
+
+def _masked_segment_embeddings(
+    win_embs: np.ndarray,       # [W, D]
+    win_starts_s: np.ndarray,   # [W]
+    win_s: float,
+    segs: SegmentArray,
+    purities: list[np.ndarray],  # per-segment [n_frames_i] exclusive act
+    seg_f0: np.ndarray,          # [S] global start frame of each purity row
+    hop_s: float,
+    min_overlap_s: float = 0.25,
+) -> np.ndarray:
+    """Slot-segment embeddings pooled from grid windows weighted by
+    overlap-seconds x mean EXCLUSIVE slot activity over the window.
+
+    Windows that land where the slot's speaker talks alone dominate the
+    pool; overlapped stretches (where the window embedding is a 2-speaker
+    mixture) are suppressed.  Falls back to plain overlap weighting when a
+    segment has no usably-pure window (fully-overlapped segments)."""
+    n = len(segs)
+    if n == 0 or win_embs.shape[0] == 0:
+        return np.zeros((n, win_embs.shape[1] if win_embs.size else 1), np.float32)
+    ws = np.asarray(win_starts_s, np.float64)
+    starts = np.asarray(segs.starts, np.float64)
+    ends = np.asarray(segs.ends, np.float64)
+    a_idx = np.searchsorted(ws, starts - win_s, side="right")
+    b_idx = np.searchsorted(ws, ends, side="left")
+    out = np.zeros((n, win_embs.shape[1]), np.float32)
+    for i in range(n):
+        a, b = int(a_idx[i]), int(b_idx[i])
+        if b <= a:
+            out[i] = win_embs[min(max(a, 0), len(ws) - 1)]
+            continue
+        local = ws[a:b]
+        ov = np.minimum(ends[i], local + win_s) - np.maximum(starts[i], local)
+        w_ov = np.where(ov >= min_overlap_s, ov, 0.0)
+        pur = purities[i]
+        f0 = int(seg_f0[i])
+        # mean exclusive activity over each window's frames inside the segment
+        lo_f = np.maximum((np.maximum(local, starts[i]) / hop_s).astype(np.int64) - f0, 0)
+        hi_f = np.minimum((np.minimum(local + win_s, ends[i]) / hop_s).astype(np.int64) - f0,
+                          len(pur))
+        cs = np.concatenate([[0.0], np.cumsum(pur, dtype=np.float64)])
+        cnt = np.maximum(hi_f - lo_f, 1)
+        mean_pur = (cs[np.maximum(hi_f, lo_f)] - cs[lo_f]) / cnt
+        w = w_ov * mean_pur
+        if w.sum() < 1e-6:      # fully-overlapped segment: plain overlap pool
+            w = w_ov
+        tot = w.sum()
+        if tot < 1e-9:          # all slivers: single best-overlapping window
+            out[i] = win_embs[a + int(np.argmax(ov))]
+            continue
+        out[i] = (w / tot) @ win_embs[a:b]
+    return out
+
+
 def segmentation_diarize(
     y,
     sr: int,
@@ -160,25 +235,32 @@ def segmentation_diarize(
     hop_s = cfg.hop_ms / 1000.0
 
     starts, ends = [], []
+    purs: list[np.ndarray] = []   # per-segment exclusive-activity timelines
+    f0s: list[int] = []           # global start frame of each purity row
     max_t = len(y) / sr
     if cfg.aggregate and n_chunks > 1:
         stride_f = int(round(stride / (hop_s * sr)))
         glob = aggregate_chunk_activities(acts, stride_f)  # [T, K]
+        ex = _exclusive_activity(glob)
         for k in range(glob.shape[1]):
             for f0, f1 in _binarize_activity(glob[:, k], cfg):
                 s, e = f0 * hop_s, min(f1 * hop_s, max_t)
                 if e - s >= cfg.min_on_s and s < max_t:
                     starts.append(s)
                     ends.append(e)
+                    purs.append(ex[f0:f1, k])
+                    f0s.append(f0)
     else:
         # per-chunk kept frame range: the center stride_s of each chunk
         # (first chunk keeps its head, last keeps its tail) so overlapping
         # chunks tile the timeline with their most-context-rich frames
         trim_f = int(round((cfg.chunk_s - stride_s) / 2.0 / hop_s))
         n_frames = acts.shape[1]
+        chunk_f0 = [int(round(c * stride / (hop_s * sr))) for c in range(n_chunks)]
         for c in range(n_chunks):
             lo = 0 if c == 0 else trim_f
             hi = n_frames if c == n_chunks - 1 else n_frames - trim_f
+            ex = _exclusive_activity(acts[c])
             for k in range(acts.shape[2]):
                 for f0, f1 in _binarize_activity(acts[c, :, k], cfg):
                     f0c, f1c = max(f0, lo), min(f1, hi)
@@ -189,6 +271,8 @@ def segmentation_diarize(
                     if e - s >= cfg.min_on_s:
                         starts.append(s)
                         ends.append(e)
+                        purs.append(ex[f0c:f1c, k])
+                        f0s.append(chunk_f0[c] + f0c)
     if not starts:
         return SegmentArray.from_pairs([])
     local = SegmentArray(np.asarray(starts), np.asarray(ends))
@@ -198,12 +282,22 @@ def segmentation_diarize(
     win_embs = embed_windows(encode_fn, jnp.asarray(y), sr,
                              cfg.grid_win_s, cfg.grid_hop_s)
     grid_starts = window_starts(len(y), sr, cfg.grid_win_s, cfg.grid_hop_s) / sr
-    embs = segment_embeddings_from_grid(win_embs, grid_starts, cfg.grid_win_s, local)
+    if cfg.masked_embeddings:
+        embs = _masked_segment_embeddings(
+            win_embs, grid_starts, cfg.grid_win_s, local,
+            purs, np.asarray(f0s, np.int64), hop_s)
+    else:
+        embs = segment_embeddings_from_grid(
+            win_embs, grid_starts, cfg.grid_win_s, local)
 
-    labels = cluster_mod.ahc_cluster(
-        embs, cos_threshold=cfg.cos_threshold,
-        min_speakers=cfg.min_speakers, max_speakers=cfg.max_speakers,
-    )
+    if cfg.cluster_method == "spectral":
+        labels = cluster_mod.spectral_cluster(
+            embs, min_speakers=cfg.min_speakers, max_speakers=cfg.max_speakers)
+    else:
+        labels = cluster_mod.ahc_cluster(
+            embs, cos_threshold=cfg.cos_threshold,
+            min_speakers=cfg.min_speakers, max_speakers=cfg.max_speakers,
+        )
     segs = SegmentArray(local.starts, local.ends, labels.astype(np.int32)).sort()
     # stitch across chunk boundaries + inside chunks
     segs = merge_adjacent(segs, cfg.merge_gap_s)
