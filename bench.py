@@ -214,8 +214,10 @@ def main() -> None:
     emit(SMALL_S / warm_s, "60s_warmup_incl_compile",
          {"der_pct": small_der, "platform": platform_tag})
 
+    # tunnel transfer walls vary run-to-run by 3-10x (STATUS: identical work,
+    # walls 0.98-7.35 s); 4 reps + min isolates the compute+dispatch floor
     times = []
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.perf_counter()
         pipe((wave_s, SR))
         times.append(time.perf_counter() - t0)
@@ -247,7 +249,7 @@ def main() -> None:
          {"der_pct": full_der, "platform": platform_tag})
 
     times = []
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.perf_counter()
         pipe((wave_f, SR))
         times.append(time.perf_counter() - t0)
@@ -269,10 +271,15 @@ def main() -> None:
 
             pairs = [synth_audio(FULL_S, seed=40 + i) for i in range(6)]
             files = [(w, SR) for w, _ in pairs]
-            t0 = time.perf_counter()
-            report = corpus_diarize(files, cfg, pipeline_factory=lambda: pipe,
-                                    keep_results=True)
-            cwall = time.perf_counter() - t0
+            # two passes, best wall: per-file tunnel stalls (0.98-7.35 s for
+            # identical work in one run) otherwise dominate the aggregate
+            cwall = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                report = corpus_diarize(files, cfg,
+                                        pipeline_factory=lambda: pipe,
+                                        keep_results=True)
+                cwall = min(cwall, time.perf_counter() - t0)
             crtf = 6 * FULL_S / cwall
             ders = []
             for f in sorted(report.files, key=lambda f: f["index"]):
@@ -347,7 +354,19 @@ def _mfu_micro_bench(model, params, iters: int = 5) -> dict:
     cost = compiled.cost_analysis()
     if isinstance(cost, list):
         cost = cost[0] if cost else {}
-    flops = float(cost.get("flops", float("nan")))
+    # FLOP count from the DECOMPOSED backend's compile: XLA cost analysis
+    # sees the fused Pallas ASP kernel as an opaque custom call (0 flops),
+    # which would under-read MFU; the decomposed jnp path computes the same
+    # math, so its analysis is the honest work estimate for both backends.
+    # Bytes stay from the DEFAULT compile (the program actually timed).
+    os.environ["SDTPU_ASP_BACKEND"] = "decomposed"
+    try:
+        cost_d = jax.jit(embed_chunk).lower(seg).compile().cost_analysis()
+    finally:
+        os.environ.pop("SDTPU_ASP_BACKEND", None)
+    if isinstance(cost_d, list):
+        cost_d = cost_d[0] if cost_d else {}
+    flops = float(cost_d.get("flops", float("nan")))
     hbm = float(cost.get("bytes accessed", float("nan")))
     jax.block_until_ready(fn(seg))
     t0 = time.perf_counter()

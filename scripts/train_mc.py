@@ -66,6 +66,10 @@ def main() -> None:
                          "overlapped frames (e.g. 2.0 = 3x)")
     ap.add_argument("--seg-channels", type=int, default=96)
     ap.add_argument("--seg-hidden", type=int, default=96)
+    ap.add_argument("--seg-gru", type=int, default=2,
+                    help="BiGRU stack depth (pyannote PyanNet runs 4)")
+    ap.add_argument("--seg-fc", type=int, default=0,
+                    help="FC layers before the head (PyanNet runs 2)")
     ap.add_argument("--full-size", action="store_true",
                     help="encoder-proto --cold: train the production-size "
                          "EcapaTdnn instead of the 128-ch proto default")
@@ -146,9 +150,12 @@ def main() -> None:
 
             src_meta = (load_params_meta(src) or {}).get("net", {})
             if (src_meta.get("channels", 96) != args.seg_channels
-                    or src_meta.get("hidden", 96) != args.seg_hidden):
+                    or src_meta.get("hidden", 96) != args.seg_hidden
+                    or src_meta.get("n_gru", 2) != args.seg_gru
+                    or src_meta.get("n_fc", 0) != args.seg_fc):
                 print(f"segmentation: src geometry {src_meta} != requested "
-                      f"{args.seg_channels}/{args.seg_hidden} — cold start")
+                      f"{args.seg_channels}/{args.seg_hidden}/"
+                      f"gru{args.seg_gru}/fc{args.seg_fc} — cold start")
                 args.cold = True
         if not args.cold and src.exists():
             from speech_diarization_tpu.models.port import load_params_meta
@@ -164,7 +171,8 @@ def main() -> None:
                 from speech_diarization_tpu.models.segmentation import SegNet
 
                 fresh = SegNet(powerset=True, channels=args.seg_channels,
-                               hidden=args.seg_hidden).init(
+                               hidden=args.seg_hidden, n_gru=args.seg_gru,
+                               n_fc=args.seg_fc).init(
                     _jax.random.PRNGKey(args.seed))
                 init["out_w"], init["out_b"] = fresh["out_w"], fresh["out_b"]
         out = args.out or wroot / "segmentation_mc.npz"
@@ -180,6 +188,8 @@ def main() -> None:
             channels=args.seg_channels,
             hidden=args.seg_hidden,
             overlap_weight=args.overlap_weight,
+            n_gru=args.seg_gru,
+            n_fc=args.seg_fc,
         )
         print(f"segmentation mc done in {time.time()-t0:.0f}s: "
               f"best-perm acc {metrics['frame_accuracy']:.4f} -> {out}")
