@@ -45,10 +45,13 @@ def _add_common_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--merge-max-turn-s", type=float, default=30.0)
     p.add_argument("--merge-min-cos", type=float, default=0.80)
     p.add_argument("--enhance", default=None,
-                   choices=["gtcrn", "zipenhancer", "off"],
+                   choices=["gtcrn", "zipenhancer", "demix-dialog", "off"],
                    help="denoise front-end before diarization; default is "
                         "gtcrn with scope 'auto' (engages only on noisy "
-                        "files); 'off' disables the stage")
+                        "files); 'demix-dialog' runs the dialog-stem "
+                        "SEPARATION front-end (rescues competing-speech "
+                        "babble: 26.8%% -> 14.6%% DER @5 dB, STATUS "
+                        "2026-08-19); 'off' disables the stage")
     p.add_argument("--enhance-scope", default="auto",
                    choices=["full", "vad", "auto"],
                    help="'vad' denoises only the VAD input (keeps speaker "
