@@ -281,6 +281,7 @@ def refine_labels_by_windows(
         es = seg_embs / (np.linalg.norm(seg_embs, axis=1, keepdims=True) + 1e-9)
     changed = True
     did_split = False
+    touched: set[int] = set()   # clusters created/modified by a split
     while changed and labels.max() + 1 < max_speakers:
         changed = False
         for c in range(int(labels.max()) + 1):
@@ -336,11 +337,18 @@ def refine_labels_by_windows(
             if len(to_b) == 0 or len(to_b) == len(member):
                 continue
             labels[to_b] = labels.max() + 1
+            touched.update((c, int(labels.max())))
             changed = did_split = True
             if labels.max() + 1 >= max_speakers:
                 break
     if did_split and es is not None and polish_iters > 0:
+        # duration-weighted cosine k-means polish, RESTRICTED to segments of
+        # clusters a split touched: the spectral assignment of untouched
+        # clusters is authoritative (plain nearest-centroid would override
+        # it and could even empty an untouched cluster, silently collapsing
+        # the count below the spectral k / min_speakers bound)
         dur = (ends - starts).astype(np.float64)
+        movable = np.isin(labels, np.asarray(sorted(touched), labels.dtype))
         for _ in range(polish_iters):
             k = int(labels.max()) + 1
             cents = np.zeros((k, es.shape[1]))
@@ -350,10 +358,11 @@ def refine_labels_by_windows(
                     cents[j] = (es[sel] * dur[sel, None]).sum(0)
             cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-9
             new = (es @ cents.T).argmax(1).astype(labels.dtype)
+            new = np.where(movable, new, labels)
             if (new == labels).all():
                 break
             labels = new
-        # polish can empty a cluster — relabel to contiguous 0..k-1
+        # polish can empty a touched cluster — relabel to contiguous 0..k-1
         uniq, inv = np.unique(labels, return_inverse=True)
         labels = inv.astype(labels.dtype)
     return labels

@@ -371,11 +371,16 @@ class DiarizationPipeline:
 
                 y3 = preemphasis(y3, acfg.preemphasis)
             y3 = jnp.clip(y3, -0.99, 0.99)
-            probs = vad_fn(y3[None])[0, f0:f1]
+            # emit u//hop + 1 frames per chunk: frame f1 (= frame 0 of the
+            # NEXT chunk's core) is kept only for the final chunk, so the
+            # streamed frame count matches the legacy t//hop + 1 convention
+            # even when t is an exact multiple of the chunk bucket (the last
+            # 10 ms frame of the 600 s bench files used to be dropped)
+            probs = vad_fn(y3[None])[0, f0:f1 + 1]
             energy = None
             if want_energy:
                 energy = frame_energy_db_chunk(
-                    y3[None], hop=hop_v, n_extra=1)[0, f0:f1]
+                    y3[None], hop=hop_v, n_extra=1)[0, f0:f1 + 1]
             grid = model.encode_grid_chunk(params, y3, wpc, m_l,
                                            grid_win, grid_hop)
             return (probs, energy, grid) if want_energy else (probs, grid)
@@ -463,9 +468,15 @@ class DiarizationPipeline:
 
             def pack(*flat):
                 rows = [flat[i * per:(i + 1) * per] for i in range(n_chunks)]
-                parts = [jnp.concatenate([r[0] for r in rows])]
+                # each chunk carries fpc+1 VAD frames; frame fpc of chunk c
+                # duplicates frame 0 of chunk c+1, so interior chunks drop it
+                # and only the final chunk keeps its trailing frame — total
+                # n_chunks*fpc + 1 (the legacy framing convention)
+                parts = [jnp.concatenate(
+                    [r[0][:-1] for r in rows[:-1]] + [rows[-1][0]])]
                 if want_energy:
-                    parts.append(jnp.concatenate([r[1] for r in rows]))
+                    parts.append(jnp.concatenate(
+                        [r[1][:-1] for r in rows[:-1]] + [rows[-1][1]]))
                 grid = jnp.concatenate([r[-1] for r in rows])
                 parts.append(grid.reshape(-1).astype(jnp.float32))
                 return jnp.concatenate(parts)
@@ -478,12 +489,13 @@ class DiarizationPipeline:
         n_frames = t // hop_v + 1
         w_total = _nf(t, grid_win, grid_hop, pad_tail=True)
         fpc = u // hop_v
-        probs = flat[:n_chunks * fpc][:n_frames]
-        off = n_chunks * fpc
+        n_probs = n_chunks * fpc + 1
+        probs = flat[:n_probs][:n_frames]
+        off = n_probs
         energy = None
         if want_energy:
-            energy = flat[off:off + n_chunks * fpc][:n_frames]
-            off += n_chunks * fpc
+            energy = flat[off:off + n_probs][:n_frames]
+            off += n_probs
         grid = flat[off:].reshape(-1, emb_dim)[:w_total]
         starts_s = window_starts(t, sr, cfg.reseg.win_s, cfg.reseg.hop_s) / sr
         return probs, energy, grid, starts_s, t / sr

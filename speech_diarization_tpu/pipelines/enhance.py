@@ -194,7 +194,7 @@ def make_enhance_fn(backend: str, params=None, weights=None, **kwargs) -> Callab
 
     ``weights``: checkpoint path override (.npz) for any backend; wins over
     the shipped default but loses to an explicit ``params`` tree."""
-    if weights is not None and params is None:
+    if weights is not None and params is None and backend != "demix-dialog":
         from ..models.port import load_params_npz
 
         log.info("%s: loading weights override %s", backend, weights)
@@ -274,7 +274,19 @@ def make_enhance_fn(backend: str, params=None, weights=None, **kwargs) -> Callab
         from ..dsp.resample import resample_host
         from .demix import DEMIX_SR, EnsembleDemixer
 
-        dmx = EnsembleDemixer(**kwargs)
+        # honor weight overrides for this backend too (they used to be
+        # silently ignored): a weights path reconstructs the U-Net geometry
+        # from the npz meta; an explicit params tree rides the default net
+        if weights is not None:
+            from ..train.recipes import load_demixer
+
+            log.info("demix-dialog: loading weights override %s", weights)
+            mdl, p = load_demixer(weights)
+            dmx = EnsembleDemixer(param_sets=[p], model=mdl, **kwargs)
+        elif params is not None:
+            dmx = EnsembleDemixer(param_sets=[params], **kwargs)
+        else:
+            dmx = EnsembleDemixer(**kwargs)
         sr = 16000
 
         def fe(y):

@@ -146,11 +146,18 @@ def aggregate_chunk_activities(
 
 def _exclusive_activity(act: np.ndarray) -> np.ndarray:
     """[F, K] slot activities -> [F, K] exclusive activities
-    (slot k active AND every other slot silent)."""
+    (slot k active AND every other slot silent).
+
+    Activities are clipped away from exactly 1.0 first: a saturated slot
+    (float32 sigmoid/powerset emit exact 1.0 on confident frames) would
+    otherwise contribute an exact-0 factor to ``prod_all`` while its own
+    denominator is clamped to 1e-6, zeroing the exclusive activity on
+    precisely the frames where the speaker most confidently talks alone."""
+    act = np.clip(act, 0.0, 1.0 - 1e-6)
     one_minus = 1.0 - act
     prod_all = one_minus.prod(axis=-1, keepdims=True)
-    # prod over j != k, numerically safe where (1 - act_j) ~ 0
-    return act * prod_all / np.maximum(one_minus, 1e-6)
+    # prod over j != k (leave-one-out via division; clip above keeps it exact)
+    return act * prod_all / one_minus
 
 
 def _masked_segment_embeddings(

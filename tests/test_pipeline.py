@@ -308,6 +308,45 @@ class TestStreamedIngest:
         cross = diarization_error_rate(b.segments, a.segments, collar_s=0.0)
         assert cross.der < 0.02, cross
 
+    def test_exact_multiple_duration_keeps_last_frame(self):
+        """t == k * 60 s bucket: the streamed path must still emit the legacy
+        t//hop + 1 VAD frames (ADVICE r3: the trailing 10 ms frame of the
+        600 s bench files was silently dropped)."""
+        from functools import partial
+
+        import jax
+
+        from speech_diarization_tpu.config import DiarizationConfig
+        from speech_diarization_tpu.pipelines.diarize import DiarizationPipeline
+        from speech_diarization_tpu.train.recipes import load_speaker_encoder, load_vad
+        from speech_diarization_tpu.train.synthetic import make_conversation
+        from speech_diarization_tpu.utils.weights import (
+            ENCODER_PREFERENCE, prefer_weights,
+        )
+
+        enc = prefer_weights(ENCODER_PREFERENCE)
+        vadw = prefer_weights(("vad_conv_mc.npz", "vad_conv_synthetic.npz"))
+        if enc is None or vadw is None:
+            pytest.skip("shipped weights missing")
+        model, params = load_speaker_encoder(enc)
+        if not getattr(model, "streaming_trained", False):
+            pytest.skip("default encoder is not streaming-trained")
+        vad, vp = load_vad(vadw)
+        pipe = DiarizationPipeline(
+            DiarizationConfig(),
+            encoder=(model, params),
+            vad_probs_fn=jax.jit(partial(vad.probs, vp)))
+        sr = 16000
+        wave, _ = make_conversation(np.random.default_rng(7), 120.0,
+                                    n_speakers=2, sr=sr)
+        y = np.asarray(wave, np.float32)[: 120 * sr]
+        assert len(y) == 120 * sr
+        st = pipe._streamed_stages(y, sr)
+        assert st is not None
+        probs = np.asarray(st[0])
+        hop = int(round(pipe.cfg.vad.hop_ms / 1000.0 * sr))
+        assert probs.shape[0] == len(y) // hop + 1
+
     def test_host_loudness_matches_device(self):
         import jax.numpy as jnp
 
