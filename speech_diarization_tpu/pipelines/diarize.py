@@ -250,10 +250,30 @@ class DiarizationPipeline:
             if engage:
                 if yd.dtype == jnp.int16:
                     yd = yd.astype(jnp.float32) * (scale / 32767.0)
-                yd_enh = self.enhance_fn(yd)
-                if scope == "full":
-                    yd = yd_enh
-                    yd_enh = None
+                fe = self.enhance_fn
+                ecfg = self.cfg.enhance
+                if (scope == "auto" and ecfg.auto_route_demix
+                        and ecfg.backend != "demix-dialog"
+                        and getattr(self, "_last_floor_hf_frac", 1.0)
+                        < ecfg.babble_floor_hf_frac):
+                    # speech-shaped noise floor = competing speech: denoisers
+                    # preserve the interfering speech (and distort speaker
+                    # identity) — route to the SEPARATION front-end instead
+                    # (full scope, the config that halved babble@5 dB DER)
+                    dfe = self._demix_frontend()
+                    if dfe is not None:
+                        log.info(
+                            "enhance auto-route: floor hf-frac %.3f < %.3f "
+                            "-> competing speech; demix-dialog front-end",
+                            self._last_floor_hf_frac,
+                            ecfg.babble_floor_hf_frac)
+                        yd = dfe(yd)
+                        fe = None
+                if fe is not None:
+                    yd_enh = fe(yd)
+                    if scope == "full":
+                        yd = yd_enh
+                        yd_enh = None
         if not hasattr(self, "_preprocess_jit"):
             self._preprocess_jit = jax.jit(
                 self._preprocess_device, static_argnames=("sr",)
@@ -264,6 +284,49 @@ class DiarizationPipeline:
         yd_enh = self._preprocess_jit(yd_enh, jnp.float32(t), sr,
                                       jnp.float32(scale))
         return yd[:t], yd_enh[:t], sr
+
+    def _demix_frontend(self):
+        """Lazily-built demix-dialog separation front-end for the auto-route.
+
+        Requires a SEPARATION-GRADE demixer: ported MVSEP ``.th`` ensembles
+        or the chip-trained ``demix_mc.npz`` (+10.61 dB/stem, ``make
+        weights``).  The committed ``demix_synthetic.npz`` fallback is
+        explicitly EXCLUDED — measured 2026-08-20: its dialog stem is the
+        mixture attenuated ~160x (corr 0.96 with the input, no separation),
+        which near-silences the file and scores 100% DER.  Returns None
+        when no qualifying demixer is available (the route keeps the
+        denoise backend).  The stem is rescaled to the input RMS before
+        returning: the diarizer only needs relative content, and stem
+        levels vary across demixer checkpoints."""
+        if not hasattr(self, "_demix_fe"):
+            import os
+
+            from ..utils.weights import WEIGHTS_ROOT
+            from .enhance import make_enhance_fn
+
+            env = os.environ.get("SDTPU_DEMUCS_CKPTS", "")
+            has_ported = bool([p for p in env.split(":") if p]
+                              or sorted(WEIGHTS_ROOT.glob("*.th")))
+            mc = WEIGHTS_ROOT / "demix_mc.npz"
+            if has_ported or mc.exists():
+                raw_fe = make_enhance_fn(
+                    "demix-dialog",
+                    weights=None if has_ported else str(mc))
+
+                def fe(yd):
+                    out = raw_fe(yd)
+                    r_in = jnp.sqrt(jnp.mean(jnp.square(yd)) + 1e-12)
+                    r_out = jnp.sqrt(jnp.mean(jnp.square(out)) + 1e-12)
+                    return out * (r_in / r_out)
+
+                self._demix_fe = fe
+            else:
+                log.warning("enhance auto-route: no separation-grade "
+                            "demixer available (ported .th or demix_mc.npz "
+                            "via `make weights`) — keeping the denoise "
+                            "backend for babble-like background")
+                self._demix_fe = None
+        return self._demix_fe
 
     _SNR_FRAME = 800  # 50 ms @ 16 kHz — syllable-scale energy frames
 
@@ -290,16 +353,38 @@ class DiarizationPipeline:
 
             def stats(y, n):
                 f = y[: (y.shape[0] // frame) * frame].astype(jnp.float32)
-                e = jnp.mean(jnp.square(f.reshape(-1, frame)), axis=1)
+                fr = f.reshape(-1, frame)
+                e = jnp.mean(jnp.square(fr), axis=1)
                 idx = jnp.arange(e.shape[0])
                 valid = (idx + 1) * frame <= n
                 e = jnp.where(valid, e, jnp.nan)
+                # noise-FLOOR spectral shape (the babble-vs-stationary router
+                # statistic, EnhanceConfig.auto_route_demix): mean power
+                # spectrum of the lowest-energy decile of valid frames, then
+                # the fraction of that power above sr/8 (4 kHz @ 16 kHz).
+                # Competing speech is speech-shaped (rolls off above ~1-2 kHz
+                # -> small fraction); stationary broadband noise is flat
+                # (~0.5).  An energy-modulation statistic was tried first and
+                # REJECTED: measured below-median frame-energy spread was
+                # babble5 4.4-4.8 dB < white10 6.1-6.6 dB — at low SNR the
+                # quiet-speech frames dominate the spread in both domains
+                # (scripts/exp_babble_probe.py, 2026-08-20).
+                floor = e <= jnp.nanpercentile(e, 10.0)
+                w = jnp.where(floor, 1.0, 0.0)
+                ps = jnp.sum(
+                    jnp.square(jnp.abs(jnp.fft.rfft(fr, axis=1)))
+                    * w[:, None], axis=0)
+                hf = jnp.sum(ps[frame // 4:]) / (jnp.sum(ps) + 1e-30)
                 return (jnp.nanpercentile(e, 5.0),
-                        jnp.nanpercentile(e, 95.0))
+                        jnp.nanpercentile(e, 95.0),
+                        hf)
 
             self._snr_jit = jax.jit(stats)
-        p10, p90 = self._snr_jit(yd, jnp.int32(n_valid))
-        p10, p90 = float(p10), float(p90)
+        p10, p90, hf = self._snr_jit(yd, jnp.int32(n_valid))
+        p10, p90, hf = float(p10), float(p90), float(hf)
+        # 1.0 (flat / undecidable) = never route: the route fires on hf
+        # BELOW the threshold (speech-shaped floor)
+        self._last_floor_hf_frac = hf if np.isfinite(hf) and hf > 0.0 else 1.0
         if not np.isfinite(p90) or p90 <= 0.0:
             return float("inf")  # empty/near-silent file: nothing to denoise
         return 10.0 * float(np.log10(p90 / max(p10, 1e-12 * p90 + 1e-30)))
@@ -406,6 +491,19 @@ class DiarizationPipeline:
     def _streamed_stages(self, y: np.ndarray, sr: int):
         """Returns (probs, energy_db, win_embs, starts_s, total_s) or None
         when this source/config cannot take the streamed path."""
+        st = self._streamed_start(y, sr)
+        return None if st is None else self._streamed_collect(st)
+
+    def _streamed_start(self, y: np.ndarray, sr: int):
+        """Dispatch phase of the streamed ingest: chunk uploads, fused
+        per-chunk programs, and the device-side pack — all ASYNC.  Returns
+        an opaque state for :meth:`_streamed_collect`, or None when this
+        source/config cannot take the streamed path.  Split out (round 4,
+        VERDICT r3 #3) so the corpus worker can dispatch file i+1's chunks
+        while file i's tail compute and host algebra are still in flight —
+        the file-boundary bubble (final pull + clustering + next file's
+        first upload, all serialized on the tunnel) was the remaining gap
+        between single-file and corpus RTF."""
         cfg = self.cfg
         if not self.streaming_capable():
             return None
@@ -484,21 +582,39 @@ class DiarizationPipeline:
             packers[pack_key] = jax.jit(pack)
         flat_args = [a for o in outs for a in o]
         emb_dim = outs[0][-1].shape[-1]
-        flat = np.asarray(packers[pack_key](*flat_args))
+        flat_dev = packers[pack_key](*flat_args)  # async dispatch, no pull
 
-        n_frames = t // hop_v + 1
-        w_total = _nf(t, grid_win, grid_hop, pad_tail=True)
-        fpc = u // hop_v
-        n_probs = n_chunks * fpc + 1
+        return {
+            "flat_dev": flat_dev,
+            "n_frames": t // hop_v + 1,
+            "w_total": _nf(t, grid_win, grid_hop, pad_tail=True),
+            "n_probs": n_chunks * (u // hop_v) + 1,
+            "want_energy": want_energy,
+            "emb_dim": emb_dim,
+            "starts_s": window_starts(
+                t, sr, cfg.reseg.win_s, cfg.reseg.hop_s) / sr,
+            "t": t, "sr": sr,
+            "snr_db": self._last_snr_db,
+            "floor_hf": getattr(self, "_last_floor_hf_frac", 1.0),
+        }
+
+    def _streamed_collect(self, st: dict):
+        """Pull phase of the streamed ingest: ONE flat device->host read +
+        host-side slicing.  Restores the per-file probe state captured at
+        dispatch time (two files may be in flight on one pipeline object
+        under the corpus worker's cross-file pipelining)."""
+        flat = np.asarray(st["flat_dev"])
+        self._last_snr_db = st["snr_db"]
+        self._last_floor_hf_frac = st["floor_hf"]
+        n_frames, n_probs = st["n_frames"], st["n_probs"]
         probs = flat[:n_probs][:n_frames]
         off = n_probs
         energy = None
-        if want_energy:
+        if st["want_energy"]:
             energy = flat[off:off + n_probs][:n_frames]
             off += n_probs
-        grid = flat[off:].reshape(-1, emb_dim)[:w_total]
-        starts_s = window_starts(t, sr, cfg.reseg.win_s, cfg.reseg.hop_s) / sr
-        return probs, energy, grid, starts_s, t / sr
+        grid = flat[off:].reshape(-1, st["emb_dim"])[:st["w_total"]]
+        return probs, energy, grid, st["starts_s"], st["t"] / st["sr"]
 
     # ----------------------------------------------------------------- vad --
     def vad_probs(self, y: jnp.ndarray, sr: int, defer: bool = False):
@@ -518,36 +634,69 @@ class DiarizationPipeline:
                                  defer=defer)
 
     # ---------------------------------------------------------------- main --
-    def __call__(self, source, collect_diagnostics: bool = False) -> DiarizationResult:
+    def _stream_host_array(self, source):
+        """Source -> host waveform array if the streamed path can take it."""
+        sr = self.cfg.audio.sample_rate
+        if isinstance(source, np.ndarray):
+            return source, source
+        if (isinstance(source, tuple) and len(source) == 2
+                and isinstance(source[0], np.ndarray) and source[1] == sr):
+            return source[0], source
+        if isinstance(source, (str, bytes)) or hasattr(source, "__fspath__"):
+            y_dec, dec_sr = read_audio(source, target_sr=sr, mono=True)
+            return y_dec, (y_dec, dec_sr)
+        return None, source
+
+    def stream_start(self, source):
+        """Dispatch a file's streamed ingest without blocking: uploads +
+        fused chunk programs + the device-side pack.  Returns an opaque
+        state for :meth:`stream_finish`, or None when this source/config
+        must take the non-streamed path (then call the pipeline normally).
+        Public so the corpus worker can overlap file i+1's chunk uploads
+        and device compute with file i's pull + host clustering (VERDICT
+        r3 #3: the file-boundary bubble)."""
+        self._last_snr_db = None
+        y_host, norm_source = self._stream_host_array(source)
+        if y_host is None:
+            return None
+        st = self._streamed_start(np.asarray(y_host, np.float32),
+                                  self.cfg.audio.sample_rate)
+        if st is None:
+            return {"legacy_source": norm_source}
+        st["legacy_source"] = None
+        return st
+
+    def stream_finish(self, st: dict) -> DiarizationResult:
+        """Complete a :meth:`stream_start` dispatch: one flat pull + VAD
+        post + clustering/segments."""
+        if st.get("legacy_source") is not None:
+            return self._legacy_call(st["legacy_source"])
         cfg = self.cfg
-        sr = cfg.audio.sample_rate
+        probs, energy_db, win_embs, starts_s, total_s = \
+            self._streamed_collect(st)
+        with stage_timer(log, "vad-post"):
+            speech = vad_segments_from_probs(
+                probs, cfg.vad, frame_energy_db=energy_db)
+        if len(speech) == 0:
+            empty = SegmentArray.from_pairs([])
+            return DiarizationResult(empty, empty, 0)
+        return self._segments_from_grid(
+            speech, probs, win_embs, starts_s, total_s, {})
+
+    def __call__(self, source, collect_diagnostics: bool = False) -> DiarizationResult:
+        sr = self.cfg.audio.sample_rate
         self._last_snr_db = None  # per-file; a stale estimate must not gate
 
         # streamed chunk-pipelined ingest (see the section comment above):
         # host-array / path sources with the streaming grid engaged skip the
         # whole-file upload barrier entirely
-        y_host = None
-        if isinstance(source, np.ndarray):
-            y_host = source
-        elif (isinstance(source, tuple) and len(source) == 2
-              and isinstance(source[0], np.ndarray) and source[1] == sr):
-            y_host = source[0]
-        elif isinstance(source, (str, bytes)) or hasattr(source, "__fspath__"):
-            y_dec, dec_sr = read_audio(source, target_sr=sr, mono=True)
-            y_host, source = y_dec, (y_dec, dec_sr)
+        y_host, source = self._stream_host_array(source)
         if y_host is not None and not collect_diagnostics:
             with stage_timer(log, "streamed-ingest"):
-                st = self._streamed_stages(np.asarray(y_host, np.float32), sr)
+                st = self._streamed_start(np.asarray(y_host, np.float32), sr)
             if st is not None:
-                probs, energy_db, win_embs, starts_s, total_s = st
-                with stage_timer(log, "vad-post"):
-                    speech = vad_segments_from_probs(
-                        probs, cfg.vad, frame_energy_db=energy_db)
-                if len(speech) == 0:
-                    empty = SegmentArray.from_pairs([])
-                    return DiarizationResult(empty, empty, 0)
-                return self._segments_from_grid(
-                    speech, probs, win_embs, starts_s, total_s, {})
+                st["legacy_source"] = None
+                return self.stream_finish(st)
         return self._legacy_call(source, collect_diagnostics)
 
     def _legacy_call(self, source, collect_diagnostics: bool = False) -> DiarizationResult:

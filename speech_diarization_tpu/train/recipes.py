@@ -645,6 +645,7 @@ def train_segmentation_synthetic(
     overlap_weight: float = 0.0,
     n_gru: int = 2,
     n_fc: int = 0,
+    ds: int = 1,
 ) -> tuple[dict, dict]:
     """Train the PyanNet-class chunk-local segmentation model (VERDICT r1
     missing #3) on synthetic overlapping-speech chunks; returns (params,
@@ -664,7 +665,7 @@ def train_segmentation_synthetic(
 
     model = SegmentationModel(net=SegNet(
         channels=channels, hidden=hidden, n_speakers=max_speakers,
-        powerset=powerset, n_gru=n_gru, n_fc=n_fc))
+        powerset=powerset, n_gru=n_gru, n_fc=n_fc, ds=ds))
     params = init_params if init_params is not None else model.init(
         jax.random.PRNGKey(seed))
     # cosine decay stabilizes the tail (PIT-BCE plateaus noisily at a
@@ -715,7 +716,7 @@ def train_segmentation_synthetic(
         save_params_npz(_flatten(params), out_path, meta={"net": {
             "channels": channels, "hidden": hidden,
             "n_speakers": max_speakers, "powerset": powerset,
-            "n_gru": n_gru, "n_fc": n_fc}})
+            "n_gru": n_gru, "n_fc": n_fc, "ds": ds}})
     return params, metrics
 
 

@@ -92,6 +92,91 @@ def test_robust_encoder_indomain_distribution():
     assert float(np.mean(ders)) < 0.15, ders
 
 
+# ---------------------------------------------------------------------------
+# Every measured held-out domain gets a gate (VERDICT r3 #4: reverb/white/
+# babble/overlap were measured in scripts/eval_heldout.py tables but ungated —
+# a regression in the refine vetoes or the demix front-end would pass CI
+# silently).  Bounds ~2x the CPU-f32 measured means (STATUS 2026-08-19:
+# reverb3 0.00, reverb6 0.66, white10 0.28, babble15 5.24, overlap 3.97) with
+# a small absolute floor for the zero-mean domains.
+# ---------------------------------------------------------------------------
+
+_DOMAIN_GATES = [
+    # (domain kwargs for make_conversation_heldout, mean-DER bound)
+    pytest.param({"rt60_s": 0.3}, 0.04, id="reverb3"),
+    pytest.param({"rt60_s": 0.6}, 0.04, id="reverb6"),
+    pytest.param({"snr_db": 10.0, "noise_kind": "white"}, 0.04, id="white10"),
+    pytest.param({"snr_db": 15.0, "noise_kind": "babble"}, 0.11, id="babble15"),
+    pytest.param({"overlap_frac": 0.3}, 0.10, id="overlap"),
+]
+
+
+@pytest.fixture(scope="module")
+def production_pipe():
+    if PROTO is None or not MC_VAD.exists():
+        pytest.skip("robust weights not shipped")
+    return _pipeline(PROTO, MC_VAD)
+
+
+@pytest.mark.parametrize("kw,bound", _DOMAIN_GATES)
+def test_heldout_domain_der(production_pipe, kw, bound):
+    from speech_diarization_tpu.train.heldout import make_conversation_heldout
+
+    ders = []
+    for i in range(2):
+        rng = np.random.default_rng(1000 + i)
+        wave, truth = make_conversation_heldout(rng, 60.0, n_speakers=3,
+                                                sr=16000, **kw)
+        ders.append(_score(production_pipe, wave, truth))
+    assert float(np.mean(ders)) < bound, (kw, ders)
+
+
+def test_babble5_with_demix_frontend():
+    """The babble@5 dB rescue via the SEPARATION front-end (STATUS
+    2026-08-19: raw 26.8% -> dialog-stem 14.6% with the chip demixer).
+    Needs a separation-GRADE demixer (demix_mc.npz via `make weights`, or
+    ported .th ensembles): the committed demix_synthetic fallback measures
+    100% DER (its dialog stem is the mixture attenuated ~160x — the same
+    measurement that gates the auto-route in
+    DiarizationPipeline._demix_frontend), so this skips without one."""
+    if PROTO is None or not MC_VAD.exists():
+        pytest.skip("robust weights not shipped")
+    import os
+
+    from speech_diarization_tpu.utils.weights import WEIGHTS_ROOT
+
+    has_ported = bool(
+        [p for p in os.environ.get("SDTPU_DEMUCS_CKPTS", "").split(":") if p]
+        or sorted(WEIGHTS_ROOT.glob("*.th")))
+    if not has_ported and not (WEIGHTS_ROOT / "demix_mc.npz").exists():
+        pytest.skip("no separation-grade demixer (run `make weights`)")
+    from functools import partial
+
+    from speech_diarization_tpu.config import (
+        ClusterConfig, DiarizationConfig, EnhanceConfig,
+    )
+    from speech_diarization_tpu.pipelines.diarize import DiarizationPipeline
+    from speech_diarization_tpu.train.heldout import make_conversation_heldout
+    from speech_diarization_tpu.train.recipes import load_speaker_encoder, load_vad
+
+    model, params = load_speaker_encoder(PROTO)
+    vad, vp = load_vad(MC_VAD)
+    cfg = DiarizationConfig(
+        cluster=ClusterConfig(method="spectral", max_speakers=8),
+        enhance=EnhanceConfig(enabled=True, backend="demix-dialog",
+                              scope="full"))
+    pipe = DiarizationPipeline(cfg, encoder=(model, params),
+                               vad_probs_fn=jax.jit(partial(vad.probs, vp)))
+    ders = []
+    for i in range(2):
+        rng = np.random.default_rng(1000 + i)
+        wave, truth = make_conversation_heldout(
+            rng, 60.0, n_speakers=3, sr=16000, snr_db=5.0,
+            noise_kind="babble")
+        ders.append(_score(pipe, wave, truth))
+    assert float(np.mean(ders)) < 0.60, ders
+
+
 @pytest.mark.skipif(not R1.exists() or not MC_VAD.exists(),
                     reason="r1 weights not shipped")
 def test_indomain_der_distribution():
