@@ -71,6 +71,20 @@ def main() -> None:
     ap.add_argument("--seg-ds", type=int, default=1,
                     help="segmentation: conv-downsample factor before the "
                          "BiGRU stack (deeper nets at the same scan budget)")
+    ap.add_argument("--seg-arch", choices=("gru", "xf"), default="gru",
+                    help="segmentation trunk: 'gru' (BiGRU scans) or 'xf' "
+                         "(scan-free pre-LN transformer at the ds rate — "
+                         "the axon compiler caps GRU depth at 2, attention "
+                         "depth is compile-free)")
+    ap.add_argument("--seg-xf", type=int, default=4,
+                    help="segmentation xf: number of transformer blocks")
+    ap.add_argument("--seg-heads", type=int, default=4,
+                    help="segmentation xf: attention heads")
+    ap.add_argument("--seg-mixed", action="store_true",
+                    help="segmentation: draw training chunks 50/50 from the "
+                         "in-domain and multi-condition generators (the "
+                         "eval measures both; mc-only training leaves an "
+                         "in-domain gap)")
     ap.add_argument("--seg-fc", type=int, default=0,
                     help="FC layers before the head (PyanNet runs 2)")
     ap.add_argument("--full-size", action="store_true",
@@ -156,7 +170,9 @@ def main() -> None:
                     or src_meta.get("hidden", 96) != args.seg_hidden
                     or src_meta.get("n_gru", 2) != args.seg_gru
                     or src_meta.get("n_fc", 0) != args.seg_fc
-                    or src_meta.get("ds", 1) != args.seg_ds):
+                    or src_meta.get("ds", 1) != args.seg_ds
+                    or src_meta.get("arch", "gru") != args.seg_arch
+                    or src_meta.get("n_xf", 4) != args.seg_xf):
                 print(f"segmentation: src geometry {src_meta} != requested "
                       f"{args.seg_channels}/{args.seg_hidden}/"
                       f"gru{args.seg_gru}/fc{args.seg_fc} — cold start")
@@ -180,13 +196,25 @@ def main() -> None:
                     _jax.random.PRNGKey(args.seed))
                 init["out_w"], init["out_b"] = fresh["out_w"], fresh["out_b"]
         out = args.out or wroot / "segmentation_mc.npz"
+        ex_fn = partial(make_segmentation_example_mc, channels=channels)
+        if args.seg_mixed:
+            from speech_diarization_tpu.train.synthetic import (
+                make_segmentation_example,
+            )
+
+            mc_fn = ex_fn
+
+            def ex_fn(g):  # noqa: F811 — 50/50 generator mix
+                if g.uniform() < 0.5:
+                    return make_segmentation_example(g)
+                return mc_fn(g)
         params, metrics = recipes.train_segmentation_synthetic(
             steps=args.steps or 1500,
             batch=args.batch or 8,
             lr=args.lr or 2e-3,
             seed=args.seed,
             out_path=out,
-            example_fn=partial(make_segmentation_example_mc, channels=channels),
+            example_fn=ex_fn,
             init_params=init,
             powerset=args.powerset,
             channels=args.seg_channels,
@@ -195,6 +223,9 @@ def main() -> None:
             n_gru=args.seg_gru,
             n_fc=args.seg_fc,
             ds=args.seg_ds,
+            arch=args.seg_arch,
+            n_xf=args.seg_xf,
+            n_heads=args.seg_heads,
         )
         print(f"segmentation mc done in {time.time()-t0:.0f}s: "
               f"best-perm acc {metrics['frame_accuracy']:.4f} -> {out}")

@@ -51,12 +51,29 @@ class SegNet:
 
     def __init__(self, n_mels: int = 40, channels: int = 96, hidden: int = 96,
                  n_speakers: int = 3, powerset: bool = False,
-                 n_gru: int = 2, n_fc: int = 0, ds: int = 1):
+                 n_gru: int = 2, n_fc: int = 0, ds: int = 1,
+                 arch: str = "gru", n_xf: int = 4, n_heads: int = 4,
+                 max_frames: int = 501):
         self.n_mels = n_mels
         self.channels = channels
         self.hidden = hidden
         self.n_speakers = n_speakers
         self.powerset = powerset
+        # arch="xf" (round-4, VERDICT r3 #1): replace the recurrent stack
+        # with a PRE-LN TRANSFORMER encoder over the ds-rate frames.  The
+        # axon compiler's pathological scan-compile behavior capped the net
+        # at 2 BiGRUs (chip_queue8 v1: a 6-scan train graph sat >45 min in
+        # compile); attention over the ~T/ds frames of a 5 s chunk is pure
+        # MXU matmuls — no scans at all — so depth is no longer
+        # compile-bound, and self-attention sees the WHOLE chunk at every
+        # layer (the who-speaks-when task is global within the chunk).
+        # ``max_frames`` sizes the learned positional table at the 10 ms
+        # full rate (501 = 5 s chunks); longer inputs fail loudly at trace
+        # time.
+        self.arch = arch
+        self.n_xf = n_xf
+        self.n_heads = n_heads
+        self.max_frames = max_frames
         # depth knobs (2026-08-19 quality push): pyannote's PyanNet runs
         # 4 BiLSTM x 128 + 2 FC x 128; the shipped 2 x BiGRU-96 net
         # plateaued at 0.86 best-perm across three training recipes —
@@ -97,6 +114,39 @@ class SegNet:
             "out_w": he(k[2], (2 * h, self.n_out)),
             "out_b": jnp.zeros((self.n_out,)),
         }
+        if self.arch == "xf":
+            dm = 2 * h
+            params["ds_w"] = he(k[3], (dm, c, 2 * self.ds))
+            params["ds_b"] = jnp.zeros((dm,))
+            params["fuse_w"] = he(k[4], (dm + c, 2 * h))
+            params["fuse_b"] = jnp.zeros((2 * h,))
+            t_ds = self.max_frames // self.ds + 2
+            params["pos_emb"] = 0.02 * jax.random.normal(
+                jax.random.fold_in(key, 78), (t_ds, dm))
+            kx = jax.random.split(jax.random.fold_in(key, 77),
+                                  4 * self.n_xf)
+            for i in range(self.n_xf):
+                q = kx[4 * i:4 * i + 4]
+                p = f"xf{i + 1}_"
+                params[p + "ln1_g"] = jnp.ones((dm,))
+                params[p + "ln1_b"] = jnp.zeros((dm,))
+                params[p + "qkv_w"] = he(q[0], (dm, 3 * dm))
+                params[p + "qkv_b"] = jnp.zeros((3 * dm,))
+                params[p + "proj_w"] = he(q[1], (dm, dm))
+                params[p + "proj_b"] = jnp.zeros((dm,))
+                params[p + "ln2_g"] = jnp.ones((dm,))
+                params[p + "ln2_b"] = jnp.zeros((dm,))
+                params[p + "ff1_w"] = he(q[2], (dm, 4 * dm))
+                params[p + "ff1_b"] = jnp.zeros((4 * dm,))
+                params[p + "ff2_w"] = he(q[3], (4 * dm, dm))
+                params[p + "ff2_b"] = jnp.zeros((dm,))
+            params["xf_lnf_g"] = jnp.ones((dm,))
+            params["xf_lnf_b"] = jnp.zeros((dm,))
+            for i in range(self.n_fc):
+                params[f"fc{i + 1}_w"] = he(
+                    k[5 + 2 * self.n_gru + i], (2 * h, 2 * h))
+                params[f"fc{i + 1}_b"] = jnp.zeros((2 * h,))
+            return params
         if self.ds > 1:
             params["ds_w"] = he(k[3], (c, c, 2 * self.ds))
             params["ds_b"] = jnp.zeros((c,))
@@ -112,6 +162,36 @@ class SegNet:
             params[f"fc{i + 1}_b"] = jnp.zeros((2 * h,))
         return params
 
+    @staticmethod
+    def _ln(x: jax.Array, g: jax.Array, b: jax.Array) -> jax.Array:
+        mu = jnp.mean(x, -1, keepdims=True)
+        v = jnp.var(x, -1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(v + 1e-5) * g + b
+
+    def _xf_block(self, params: Params, i: int, x: jax.Array) -> jax.Array:
+        """Pre-LN transformer encoder block on [B, T_ds, D]."""
+        p = f"xf{i + 1}_"
+        dm = x.shape[-1]
+        nh = self.n_heads
+        hd = dm // nh
+        h1 = self._ln(x, params[p + "ln1_g"], params[p + "ln1_b"])
+        qkv = h1 @ params[p + "qkv_w"] + params[p + "qkv_b"]
+        q, kk, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(z):  # [B, T, D] -> [B, nh, T, hd]
+            return jnp.transpose(
+                z.reshape(z.shape[0], z.shape[1], nh, hd), (0, 2, 1, 3))
+
+        q, kk, v = heads(q), heads(kk), heads(v)
+        att = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", q, kk) / jnp.sqrt(float(hd)), -1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        o = jnp.transpose(o, (0, 2, 1, 3)).reshape(x.shape)
+        x = x + o @ params[p + "proj_w"] + params[p + "proj_b"]
+        h2 = self._ln(x, params[p + "ln2_g"], params[p + "ln2_b"])
+        f = jax.nn.gelu(h2 @ params[p + "ff1_w"] + params[p + "ff1_b"])
+        return x + f @ params[p + "ff2_w"] + params[p + "ff2_b"]
+
     def logits(self, params: Params, feats: jax.Array) -> jax.Array:
         """[B, T, M] log-mel -> [B, T, n_out] raw head logits."""
         x = jnp.transpose(feats, (0, 2, 1))  # [B, M, T]
@@ -121,7 +201,20 @@ class SegNet:
         x = jax.nn.silu(
             conv1d_torch(x, params["conv2_w"], params["conv2_b"], dilation=2))
         xt = jnp.transpose(x, (0, 2, 1))  # [B, T, C] full-rate features
-        if self.ds > 1:
+        if self.arch == "xf":
+            d = self.ds
+            xd = jnp.pad(x, ((0, 0), (0, 0), (d, d)))
+            xd = conv1d_torch(xd, params["ds_w"], params["ds_b"], stride=d)
+            g = jax.nn.silu(jnp.transpose(xd, (0, 2, 1)))  # [B, T_ds, D]
+            g = g + params["pos_emb"][: g.shape[1]]
+            for i in range(self.n_xf):
+                g = self._xf_block(params, i, g)
+            g = self._ln(g, params["xf_lnf_g"], params["xf_lnf_b"])
+            up = jnp.repeat(g, d, axis=1)[:, : xt.shape[1]]
+            x = jax.nn.silu(
+                jnp.concatenate([up, xt], axis=-1) @ params["fuse_w"]
+                + params["fuse_b"])
+        elif self.ds > 1:
             d = self.ds
             xd = jnp.pad(x, ((0, 0), (0, 0), (d, d)))
             xd = jax.nn.silu(

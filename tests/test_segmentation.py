@@ -212,3 +212,45 @@ class TestSegmentationPipeline:
         # speech-like synthetic voices + probe encoder: the gate is
         # "clearly working", not SOTA — miss+fa+conf well under half
         assert d.der < 0.35, str(d)
+
+
+class TestSegNetXf:
+    """Round-4 scan-free transformer trunk (arch='xf'): attention at the
+    ds rate avoids the axon scan-compile cap that held the GRU stack at
+    depth 2 (chip_queue8 v1)."""
+
+    def test_shapes_and_finiteness(self):
+        net = SegNet(n_mels=40, channels=24, hidden=24, powerset=True,
+                     arch="xf", n_xf=2, n_heads=4, ds=3)
+        params = net.init(jax.random.PRNGKey(0))
+        feats = jnp.asarray(np.random.default_rng(0)
+                            .standard_normal((2, 501, 40)).astype(np.float32))
+        act = jax.jit(net.apply)(params, feats)
+        assert act.shape == (2, 501, 3)
+        a = np.asarray(act)
+        assert np.isfinite(a).all() and (a >= 0).all() and (a <= 1).all()
+
+    def test_no_scans_in_jaxpr(self):
+        """The xf trunk must trace to ZERO lax.scan/while ops — that is the
+        whole point of the architecture on the axon compiler."""
+        net = SegNet(n_mels=40, channels=16, hidden=16, powerset=True,
+                     arch="xf", n_xf=2, n_heads=2, ds=3)
+        params = net.init(jax.random.PRNGKey(0))
+        feats = jnp.zeros((1, 501, 40), jnp.float32)
+        jaxpr = str(jax.make_jaxpr(net.logits)(params, feats))
+        assert "scan" not in jaxpr and "while" not in jaxpr
+
+    def test_meta_roundtrip(self, tmp_path):
+        from speech_diarization_tpu.train.recipes import (
+            load_segmentation, train_segmentation_synthetic,
+        )
+
+        out = tmp_path / "seg_xf.npz"
+        train_segmentation_synthetic(
+            steps=1, batch=1, lr=1e-3, seed=0, powerset=True,
+            channels=16, hidden=16, n_gru=0, ds=3, arch="xf", n_xf=2,
+            n_heads=2, out_path=out)
+        model, params = load_segmentation(out)
+        assert model.net.arch == "xf" and model.net.n_xf == 2
+        act = model.activities(params, jnp.zeros((1, 16000), jnp.float32))
+        assert np.isfinite(np.asarray(act)).all()
