@@ -52,6 +52,10 @@ def main() -> None:
     ap.add_argument("--utt-per-spk", type=int, default=4)
     ap.add_argument("--channel-p", type=float, default=0.5)
     ap.add_argument("--competing-p", type=float, default=0.0)
+    ap.add_argument("--hard-pair-frac", type=float, default=0.0,
+                    help="encoder-proto: fraction of pool speakers rendered "
+                         "as near-collided pairs (clustering-margin "
+                         "training for the 60 s in-domain tail)")
     ap.add_argument("--snr-floor", type=float, default=8.0)
     # demix scale knobs (VERDICT r1 #8: the round-1 +3.6 dB net was the
     # 48-channel default trained on CPU; the chip can afford a wider one)
@@ -367,9 +371,11 @@ def main() -> None:
             channel_p=args.channel_p,
             competing_p=args.competing_p,
             channel_kwargs={"snr_db": (args.snr_floor, 30.0)},
+            hard_pair_frac=args.hard_pair_frac,
         )
         print(f"proto encoder done in {time.time()-t0:.0f}s: "
-              f"unseen_separation {metrics['unseen_separation']:.4f} -> {out}")
+              f"unseen_separation {metrics['unseen_separation']:.4f} "
+              f"hard_pair_margin {metrics.get('hard_pair_margin')} -> {out}")
         return
 
     if args.what == "encoder-windowed":

@@ -79,6 +79,7 @@ def train_speaker_encoder_proto(
     channel_kwargs: dict | None = None,
     competing_p: float = 0.0,
     competing_snr_db: tuple[float, float] = (5.0, 20.0),
+    hard_pair_frac: float = 0.0,
 ) -> tuple[dict, dict]:
     """Fine-tune (or train) the streaming-regime ECAPA with the angular
     prototypical objective over a periodically regenerated speaker pool.
@@ -113,12 +114,33 @@ def train_speaker_encoder_proto(
     rng = np.random.default_rng(seed)
     channels = ChannelBank(rng)
 
+    # hard-pair mining (round 4, VERDICT r3 #2): the 60 s in-domain tail is
+    # near-collided speaker pairs (window cross-cos 0.81/0.93) whose
+    # bisection statistic cannot separate them — oracle window accuracy is
+    # 1.000, so the pairs ARE separable and the gap is the encoder's
+    # CLUSTERING MARGIN.  Grid-spread random pools almost never contain
+    # such pairs, so the loss never trains that margin.  With
+    # ``hard_pair_frac`` > 0, that fraction of pool speakers is generated
+    # as ADJACENT near-collided pairs (f0 within ~3%, same tract scale,
+    # formants within ~3%) and every batch force-includes some pairs —
+    # the angular-proto CE then pushes those exact negatives apart.
+    n_hard_pairs = int(pool_speakers * hard_pair_frac / 2)
+    hard_lo = pool_speakers - 2 * n_hard_pairs
+
     def render_pool():
         from .multicond import make_mc_speaker_bank
 
         # full-identity profiles (f0 + tract scale + formant pattern) — the
         # same identity manifold the in-domain conversations draw from
         profs = make_mc_speaker_bank(rng, pool_speakers)
+        for j in range(n_hard_pairs):
+            a = profs[hard_lo + 2 * j]
+            profs[hard_lo + 2 * j + 1] = {
+                "f0": a["f0"] * float(rng.uniform(0.97, 1.03)),
+                "shift": a["shift"],
+                "formants": np.asarray(a["formants"])
+                * rng.uniform(0.97, 1.03, 3),
+            }
         pool = np.zeros((pool_speakers, pool_utts, n), np.float32)
         for s, prof in enumerate(profs):
             for u in range(pool_utts):
@@ -129,7 +151,16 @@ def train_speaker_encoder_proto(
         return pool
 
     def draw_batch(pool):
-        spk = rng.choice(pool.shape[0], spk_per_batch, replace=False)
+        if n_hard_pairs and spk_per_batch >= 4:
+            k = min(spk_per_batch // 4, n_hard_pairs)
+            pids = rng.choice(n_hard_pairs, k, replace=False)
+            hard = np.concatenate(
+                [[hard_lo + 2 * p, hard_lo + 2 * p + 1] for p in pids])
+            rest = rng.choice(hard_lo, spk_per_batch - len(hard),
+                              replace=False)
+            spk = np.concatenate([hard, rest])
+        else:
+            spk = rng.choice(pool.shape[0], spk_per_batch, replace=False)
         out = np.empty((spk_per_batch, utt_per_spk, n), np.float32)
         for i, s in enumerate(spk):
             us = rng.choice(pool.shape[1], utt_per_spk,
@@ -204,6 +235,31 @@ def train_speaker_encoder_proto(
     sep = float(sim[iu][same[iu]].mean() - sim[iu][~same[iu]].mean())
     metrics = {"loss": losses, "unseen_separation": sep}
     log.info("unseen-speaker separation %.4f", sep)
+
+    if n_hard_pairs:
+        # hard-pair margin probe: FRESH near-collided pairs; margin =
+        # within-speaker cos minus cross-pair cos (positive = separable
+        # by a centroid split, the failing 60 s statistic)
+        from .multicond import make_mc_speaker_bank as _bank
+
+        margins = []
+        for _ in range(12):
+            a = _bank(rng, 1)[0]
+            b = {"f0": a["f0"] * float(rng.uniform(0.97, 1.03)),
+                 "shift": a["shift"],
+                 "formants": np.asarray(a["formants"])
+                 * rng.uniform(0.97, 1.03, 3)}
+            ws = []
+            for prof in (a, a, b, b):
+                w = render_speaker(rng, prof, dur_s, sr)
+                ws.append(np.pad(w[:n], (0, max(0, n - len(w[:n])))))
+            e = np.array(encode(params, jnp.asarray(np.stack(ws))))
+            e /= np.linalg.norm(e, axis=1, keepdims=True) + 1e-9
+            within = 0.5 * (e[0] @ e[1] + e[2] @ e[3])
+            cross = float(np.mean(e[:2] @ e[2:].T))
+            margins.append(float(within - cross))
+        metrics["hard_pair_margin"] = float(np.mean(margins))
+        log.info("hard-pair margin %.4f", metrics["hard_pair_margin"])
 
     save_params = {k: v for k, v in params.items()
                    if k not in ("proto_scale", "proto_bias")}
