@@ -47,7 +47,10 @@ def frame_eval(weights: Path, n_batches: int, batch: int, seed: int):
     from speech_diarization_tpu.train.synthetic import make_segmentation_example
 
     model, params = load_segmentation(weights)
-    act_fn = jax.jit(lambda w: model.activities(params, w))
+    # the head's NATIVE decode: powerset argmax (one calibrated joint
+    # decision/frame) — marginal-threshold decoding under-read the xf
+    # checkpoint by 5.6 pts best-perm (0.856 vs 0.912, 2026-08-20)
+    act_fn = jax.jit(lambda w: model.hard_activities(params, w))
 
     out = {}
     for name, ex_fn in (("indomain", make_segmentation_example),
@@ -123,7 +126,11 @@ def pipeline_eval(weights: Path, n_files: int, dur_s: float, n_speakers: int,
         encoder=(model, params))
 
     seg_model, seg_params = load_segmentation(weights)
-    seg_fn = jax.jit(partial(seg_model.activities, seg_params))
+    from speech_diarization_tpu.pipelines.segmentation import (
+        make_seg_activities_fn,
+    )
+
+    seg_fn = make_seg_activities_fn(seg_model, seg_params)
     seg_cfg = SegmentationConfig()
 
     rows = []

@@ -250,6 +250,23 @@ class SegNet:
         probs = jax.nn.softmax(logits, axis=-1)
         return probs @ jnp.asarray(self.membership())
 
+    def apply_hard(self, params: Params, feats: jax.Array) -> jax.Array:
+        """-> [B, T, K] BINARY activities via the head's native decision.
+
+        Powerset: argmax over the 2^K classes — ONE calibrated joint
+        decision per frame, the pyannote-3.x decode.  Thresholding the
+        marginalized activities at 0.5 instead loses exactly the frames
+        where the posterior spreads over neighboring subsets: measured on
+        the xf checkpoint (2026-08-20), marginal-threshold best-perm reads
+        0.856 in-domain while argmax decode reads 0.912 — a third of the
+        apparent frame error was DECODE loss, not model loss (misses sat
+        at max-marginal ~0.43).  Sigmoid head: plain 0.5 threshold."""
+        logits = self.logits(params, feats)
+        if not self.powerset:
+            return (jax.nn.sigmoid(logits) >= 0.5).astype(jnp.float32)
+        memb = jnp.asarray(self.membership())
+        return memb[jnp.argmax(logits, axis=-1)]
+
 
 class SegmentationModel:
     """Waveform wrapper: [B, T_samples] -> [B, n_frames, K] local activities
@@ -284,6 +301,15 @@ class SegmentationModel:
         objective input; ``powerset_pit_ce_loss`` needs logits, not the
         marginalized activities)."""
         return self.net.logits(params, self._feats(y))
+
+    def hard_activities(self, params: Params, y: jax.Array) -> jax.Array:
+        """[B, T_samples] -> [B, n_frames, K] binary activities via the
+        head's native decision (see :meth:`SegNet.apply_hard`)."""
+        squeeze = y.ndim == 1
+        if squeeze:
+            y = y[None]
+        a = self.net.apply_hard(params, self._feats(y))
+        return a[0] if squeeze else a
 
 
 def pit_bce_loss(pred: jax.Array, target: jax.Array, eps: float = 1e-7) -> jax.Array:

@@ -84,7 +84,11 @@ class Diarizer:
                     "activities will be meaningless. Train via "
                     "train/recipes.train_segmentation_synthetic.", seg_weights)
                 params = model.init(jax.random.PRNGKey(0))
-            self._seg_fn = jax.jit(partial(model.activities, params))
+            from .segmentation import make_seg_activities_fn
+
+            # dual soft+hard scorer: powerset checkpoints binarize on the
+            # argmax decode (see SegNet.apply_hard)
+            self._seg_fn = make_seg_activities_fn(model, params)
             self._seg_cfg = SegmentationConfig(
                 cos_threshold=cfg.cluster.cos_threshold,
                 min_speakers=cfg.cluster.min_speakers or 1,

@@ -83,9 +83,15 @@ class SegmentationConfig:
     cluster_method: str = "ahc"
 
 
-def _binarize_activity(act: np.ndarray, cfg: SegmentationConfig) -> list[tuple[int, int]]:
-    """[F] activity -> list of (f0, f1) active frame spans with min-on/off."""
-    on = act >= cfg.onset
+def _binarize_activity(act: np.ndarray, cfg: SegmentationConfig,
+                       onset: float | None = None) -> list[tuple[int, int]]:
+    """[F] activity -> list of (f0, f1) active frame spans with min-on/off.
+
+    ``onset`` overrides ``cfg.onset`` — hard argmax-decoded activities
+    binarize at 0.5 (majority vote after aggregation averaging; exact on
+    raw {0,1} per-chunk decisions), while the 0.3 default was tuned for
+    soft powerset marginals (which sit below 0.5 on overlapped frames)."""
+    on = act >= (cfg.onset if onset is None else onset)
     if not on.any():
         return []
     hop_s = cfg.hop_ms / 1000.0
@@ -106,7 +112,8 @@ def _binarize_activity(act: np.ndarray, cfg: SegmentationConfig) -> list[tuple[i
 def aggregate_chunk_activities(
     acts: np.ndarray,
     stride_f: int,
-) -> np.ndarray:
+    paired: np.ndarray | None = None,
+) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
     """Stitch per-chunk slot activities into one global timeline
     (pyannote's inference aggregation, ``pyannote.audio`` Inference
     sliding-window semantics — the analog the reference consumes as a
@@ -123,6 +130,7 @@ def aggregate_chunk_activities(
     n_chunks, f, k = acts.shape
     t_total = (n_chunks - 1) * stride_f + f
     agg = np.zeros((t_total, k), np.float64)
+    agg2 = np.zeros((t_total, k), np.float64) if paired is not None else None
     wsum = np.zeros((t_total, 1), np.float64)
     # Hann-like weights favor chunk centers where the BiGRU has context on
     # both sides; +eps keeps edge frames covered at the file boundaries
@@ -131,6 +139,7 @@ def aggregate_chunk_activities(
     for c in range(n_chunks):
         lo = c * stride_f
         a = acts[c].astype(np.float64)
+        p_best = list(range(k))
         if c > 0:
             # overlap with the aggregate so far: frames [lo, prev_end)
             ov = min((c - 1) * stride_f + f, t_total) - lo
@@ -138,10 +147,18 @@ def aggregate_chunk_activities(
                 ref = agg[lo : lo + ov] / np.maximum(wsum[lo : lo + ov], 1e-9)
                 errs = [float(((a[:ov, list(p)] - ref) ** 2).sum())
                         for p in perms]
-                a = a[:, list(perms[int(np.argmin(errs))])]
+                p_best = list(perms[int(np.argmin(errs))])
+                a = a[:, p_best]
         agg[lo : lo + f] += w * a
+        if agg2 is not None:
+            # the paired array (hard argmax decisions) rides the SAME slot
+            # permutation the soft marginals aligned with
+            agg2[lo : lo + f] += w * paired[c].astype(np.float64)[:, p_best]
         wsum[lo : lo + f] += w
-    return (agg / np.maximum(wsum, 1e-9)).astype(np.float32)
+    out = (agg / np.maximum(wsum, 1e-9)).astype(np.float32)
+    if agg2 is None:
+        return out
+    return out, (agg2 / np.maximum(wsum, 1e-9)).astype(np.float32)
 
 
 def _exclusive_activity(act: np.ndarray) -> np.ndarray:
@@ -238,7 +255,11 @@ def segmentation_diarize(
     idx = (np.arange(n_chunks)[:, None] * stride + np.arange(chunk)[None, :])
     chunks = jnp.asarray(yp[idx])  # [n_chunks, chunk]
 
-    acts = np.asarray(seg_activities_fn(chunks))  # [n_chunks, F, K]
+    acts = np.asarray(seg_activities_fn(chunks))  # [n_chunks, F, K or 2K]
+    hard = None
+    if getattr(seg_activities_fn, "dual", False):
+        k2 = acts.shape[-1] // 2
+        acts, hard = acts[..., :k2], acts[..., k2:]
     hop_s = cfg.hop_ms / 1000.0
 
     starts, ends = [], []
@@ -247,10 +268,15 @@ def segmentation_diarize(
     max_t = len(y) / sr
     if cfg.aggregate and n_chunks > 1:
         stride_f = int(round(stride / (hop_s * sr)))
-        glob = aggregate_chunk_activities(acts, stride_f)  # [T, K]
+        if hard is not None:
+            glob, ghard = aggregate_chunk_activities(acts, stride_f, hard)
+        else:
+            glob, ghard = aggregate_chunk_activities(acts, stride_f), None
         ex = _exclusive_activity(glob)
+        bin_src = ghard if ghard is not None else glob
+        bin_on = 0.5 if ghard is not None else None
         for k in range(glob.shape[1]):
-            for f0, f1 in _binarize_activity(glob[:, k], cfg):
+            for f0, f1 in _binarize_activity(bin_src[:, k], cfg, onset=bin_on):
                 s, e = f0 * hop_s, min(f1 * hop_s, max_t)
                 if e - s >= cfg.min_on_s and s < max_t:
                     starts.append(s)
@@ -269,7 +295,10 @@ def segmentation_diarize(
             hi = n_frames if c == n_chunks - 1 else n_frames - trim_f
             ex = _exclusive_activity(acts[c])
             for k in range(acts.shape[2]):
-                for f0, f1 in _binarize_activity(acts[c, :, k], cfg):
+                spans = (_binarize_activity(hard[c, :, k], cfg, onset=0.5)
+                         if hard is not None
+                         else _binarize_activity(acts[c, :, k], cfg))
+                for f0, f1 in spans:
                     f0c, f1c = max(f0, lo), min(f1, hi)
                     if f1c <= f0c:
                         continue
@@ -312,7 +341,36 @@ def segmentation_diarize(
 
 
 def make_seg_activities_fn(model, params) -> Callable:
-    """Jit ``SegmentationModel.activities`` once for batched chunk scoring."""
+    """Jit the batched chunk scorer.
+
+    Powerset models emit ``[n_chunks, F, 2K]`` = soft marginals ‖ HARD
+    argmax-decoded activities in one dispatch (``fn.dual = True``): the
+    pipeline binarizes on the hard decisions (the head's native calibrated
+    decode — see ``SegNet.apply_hard``) and keeps the soft marginals for
+    exclusive-activity masking and aggregation alignment.  Sigmoid models
+    return plain soft activities (``fn.dual = False``)."""
+    if getattr(model.net, "powerset", False):
+        memb = jnp.asarray(model.net.membership())
+
+        def inner(chunks):
+            lg = model.head_logits(params, chunks)
+            soft = jax.nn.softmax(lg, axis=-1) @ memb
+            hard = memb[jnp.argmax(lg, axis=-1)]
+            return jnp.concatenate([soft, hard], axis=-1)
+
+        jf = jax.jit(inner)
+
+        def fn(chunks):
+            return jf(chunks)
+
+        fn.dual = True
+        return fn
     from functools import partial
 
-    return jax.jit(partial(model.activities, params))
+    jf = jax.jit(partial(model.activities, params))
+
+    def fn(chunks):
+        return jf(chunks)
+
+    fn.dual = False
+    return fn

@@ -711,7 +711,9 @@ def train_segmentation_synthetic(
 
     heldout = np.random.default_rng(seed + 1)
     wavs, labels = batch_data(heldout)
-    act = np.asarray(model.activities(params, jnp.asarray(wavs)))
+    # score with the head's NATIVE decode (powerset argmax — marginal
+    # thresholding under-reads powerset checkpoints by ~5 pts best-perm)
+    act = np.asarray(model.hard_activities(params, jnp.asarray(wavs)))
     n = min(act.shape[1], labels.shape[1])
     metrics["frame_accuracy"] = best_permutation_accuracy(act[:, :n], labels[:, :n])
     log.info("seg heldout best-perm frame accuracy %.3f", metrics["frame_accuracy"])
