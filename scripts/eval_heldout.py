@@ -97,10 +97,16 @@ def build_pipeline(cpu_dtype: bool, enc_weights: str | None = None,
 
     from speech_diarization_tpu.config import EnhanceConfig
 
+    from speech_diarization_tpu.config import OverlapConfig
+
     cfg = DiarizationConfig(
         cluster=ClusterConfig(
             method="spectral", max_speakers=8,
             refine_splits=os.environ.get("SDTPU_EVAL_REFINE", "1") == "1"),
+        # SDTPU_EVAL_OVERLAP=1 enables the overlap-rescue stage
+        # (segment/overlap.py) on top of the flagship map
+        overlap=OverlapConfig(
+            enabled=os.environ.get("SDTPU_EVAL_OVERLAP", "0") == "1"),
         # mirrors the production default (noise-adaptive vad-scope denoise).
         # SDTPU_EVAL_ENHANCE=off disables; =gtcrn|zipenhancer forces a
         # backend; SDTPU_EVAL_ENHANCE_SCOPE=full|vad|auto picks the scope.

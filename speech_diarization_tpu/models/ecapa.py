@@ -385,6 +385,7 @@ class EcapaModel:
         margin: int,  # samples of context on each side (multiple of hop)
         win: int,  # window length in samples
         hop: int,  # grid hop in samples
+        backend: str | None = None,  # None = SDTPU_ASP_BACKEND / auto
     ) -> jax.Array:
         """Streaming sliding-window embeddings: ONE trunk pass over the whole
         chunk, then per-window attentive-stats pooling — [n_windows, emb_dim].
@@ -428,7 +429,8 @@ class EcapaModel:
         # decomposed on CPU (pallas has no compiled CPU lowering).
         import os
 
-        backend = os.environ.get("SDTPU_ASP_BACKEND", "auto")
+        if backend is None:
+            backend = os.environ.get("SDTPU_ASP_BACKEND", "auto")
         if backend == "auto":
             import jax as _jax
 

@@ -190,8 +190,11 @@ def train_speaker_encoder_proto(
         return out
 
     def encode(p, wavs):  # [B, T] -> [B, D] utterance embeddings
+        # decomposed ASP backend: pallas_call has no JVP rule, so training
+        # must differentiate through the jnp path (chipq10 failure, r4)
         embs = jax.vmap(
-            lambda y: model.encode_grid_chunk(p, y, n_win, 0, win, hop)
+            lambda y: model.encode_grid_chunk(
+                p, y, n_win, 0, win, hop, backend="decomposed")
         )(wavs)
         e = embs / (jnp.linalg.norm(embs, axis=-1, keepdims=True) + 1e-9)
         return e.mean(axis=1)

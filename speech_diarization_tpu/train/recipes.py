@@ -282,8 +282,11 @@ def train_speaker_encoder_streaming(
             return ws, cl[idx]
 
     def encode_stream(p, wavs):  # [B, T] -> [B*n_win, D]
+        # decomposed ASP backend: pallas_call has no JVP rule, so training
+        # must differentiate through the jnp path
         embs = jax.vmap(
-            lambda y: model.encode_grid_chunk(p, y, n_win, 0, win, hop)
+            lambda y: model.encode_grid_chunk(
+                p, y, n_win, 0, win, hop, backend="decomposed")
         )(wavs)
         return embs.reshape(-1, embs.shape[-1])
 
