@@ -89,6 +89,13 @@ def main() -> None:
                          "in-domain and multi-condition generators (the "
                          "eval measures both; mc-only training leaves an "
                          "in-domain gap)")
+    ap.add_argument("--seg-conv-frac", type=float, default=0.0,
+                    help="segmentation: fraction of training chunks from the "
+                         "CONVERSATION-structured generator (multicond."
+                         "make_segmentation_example_conv — dense turn-taking, "
+                         "whole-chunk single-speaker turns, true silences; "
+                         "the r4 fix for overlap-detector hallucination on "
+                         "out-of-family audio)")
     ap.add_argument("--seg-fc", type=int, default=0,
                     help="FC layers before the head (PyanNet runs 2)")
     ap.add_argument("--full-size", action="store_true",
@@ -201,15 +208,24 @@ def main() -> None:
                 init["out_w"], init["out_b"] = fresh["out_w"], fresh["out_b"]
         out = args.out or wroot / "segmentation_mc.npz"
         ex_fn = partial(make_segmentation_example_mc, channels=channels)
-        if args.seg_mixed:
+        if args.seg_mixed or args.seg_conv_frac > 0:
+            from speech_diarization_tpu.train.multicond import (
+                make_segmentation_example_conv,
+            )
             from speech_diarization_tpu.train.synthetic import (
                 make_segmentation_example,
             )
 
             mc_fn = ex_fn
+            conv_frac = args.seg_conv_frac
+            conv_fn = partial(make_segmentation_example_conv,
+                              channels=channels)
 
-            def ex_fn(g):  # noqa: F811 — 50/50 generator mix
-                if g.uniform() < 0.5:
+            def ex_fn(g):  # noqa: F811 — conv / in-domain / mc generator mix
+                u = g.uniform()
+                if u < conv_frac:
+                    return conv_fn(g)
+                if args.seg_mixed and u < conv_frac + (1 - conv_frac) / 2:
                     return make_segmentation_example(g)
                 return mc_fn(g)
         params, metrics = recipes.train_segmentation_synthetic(

@@ -263,6 +263,30 @@ class ShardingConfig:
 
 
 @dataclass(frozen=True)
+class OverlapConfig:
+    """Overlap rescue on the flagship pipeline (segment/overlap.py): the
+    PyanNet-class segmentation model detects where >=2 people speak at
+    once, and each region gains ONE second-speaker segment (turn-change
+    regions take the two adjacent speakers; backchannel regions match the
+    region's grid embedding against the other speakers' centroids).  The
+    flagship keeps the global speaker map (its confusion is ~5x lower than
+    the standalone segmentation engine's stitching, measured r4)."""
+
+    enabled: bool = False
+    # segmentation checkpoint override (.npz); None = the shipped default
+    weights: str | None = None
+    chunk_s: float = 5.0
+    chunk_hop_s: float = 2.5
+    min_on_s: float = 0.3
+    min_gap_s: float = 0.15
+    # cosine floor for the backchannel second-speaker match
+    min_cos: float = 0.10
+    # sanity veto: if the model marks more than this fraction of total
+    # speech as overlapped, it is hallucinating — skip the rescue
+    max_overlap_frac: float = 0.5
+
+
+@dataclass(frozen=True)
 class DiarizationConfig:
     """Top-level config: the single source of truth for all pipelines."""
 
@@ -275,6 +299,7 @@ class DiarizationConfig:
     merge: MergeConfig = field(default_factory=MergeConfig)
     stems: StemsConfig = field(default_factory=StemsConfig)
     enhance: EnhanceConfig = field(default_factory=EnhanceConfig)
+    overlap: OverlapConfig = field(default_factory=OverlapConfig)
     sharding: ShardingConfig = field(default_factory=ShardingConfig)
 
 

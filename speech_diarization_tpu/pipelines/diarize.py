@@ -664,6 +664,7 @@ class DiarizationPipeline:
         if st is None:
             return {"legacy_source": norm_source}
         st["legacy_source"] = None
+        st["y_host"] = y_host  # kept for the overlap-rescue stage
         return st
 
     def stream_finish(self, st: dict) -> DiarizationResult:
@@ -681,7 +682,8 @@ class DiarizationPipeline:
             empty = SegmentArray.from_pairs([])
             return DiarizationResult(empty, empty, 0)
         return self._segments_from_grid(
-            speech, probs, win_embs, starts_s, total_s, {})
+            speech, probs, win_embs, starts_s, total_s, {},
+            y=st.get("y_host"), sr=st["sr"])
 
     def __call__(self, source, collect_diagnostics: bool = False) -> DiarizationResult:
         sr = self.cfg.audio.sample_rate
@@ -696,6 +698,7 @@ class DiarizationPipeline:
                 st = self._streamed_start(np.asarray(y_host, np.float32), sr)
             if st is not None:
                 st["legacy_source"] = None
+                st["y_host"] = y_host
                 return self.stream_finish(st)
         return self._legacy_call(source, collect_diagnostics)
 
@@ -870,6 +873,11 @@ class DiarizationPipeline:
             speech4 = speech3
 
         final = merge_adjacent(speech4, cfg.merge.max_gap_s)
+        if cfg.overlap.enabled and y is not None:
+            with stage_timer(log, "overlap-rescue"):
+                final = self._overlap_rescue(
+                    y, sr or cfg.audio.sample_rate, final,
+                    win_embs, starts_s, grid_win_s)
         num_speakers = len({int(k) for k in final.spks if k >= 0})
 
         diagnostics: dict[str, Any] = {}
@@ -886,6 +894,39 @@ class DiarizationPipeline:
                 "stage_reassigned": speech4,
             }
         return DiarizationResult(final, speech, num_speakers, diagnostics)
+
+    # ------------------------------------------------------------ overlap --
+    def _overlap_rescue(self, y, sr, final, win_embs, starts_s, win_s):
+        """Second-speaker segments from the segmentation model's overlap
+        detections (segment/overlap.py) on top of the flagship map."""
+        if not hasattr(self, "_overlap_fn"):
+            from ..utils.weights import prefer_weights
+            from .segmentation import make_seg_activities_fn
+
+            w = self.cfg.overlap.weights or prefer_weights(
+                ("segmentation_xf.npz", "segmentation_ow3.npz",
+                 "segmentation_powerset.npz", "segmentation_synthetic.npz"))
+            if w is None:
+                log.warning("overlap rescue: no segmentation checkpoint "
+                            "ships — stage disabled")
+                self._overlap_fn = None
+            else:
+                from ..train.recipes import load_segmentation
+
+                model, params = load_segmentation(w)
+                self._overlap_fn = make_seg_activities_fn(model, params)
+        if self._overlap_fn is None:
+            return final
+        from ..segment.overlap import add_overlap_segments, detect_overlap_regions
+
+        ocfg = self.cfg.overlap
+        regions = detect_overlap_regions(
+            np.asarray(y, np.float32), sr, self._overlap_fn,
+            chunk_s=ocfg.chunk_s, chunk_hop_s=ocfg.chunk_hop_s,
+            min_on_s=ocfg.min_on_s, min_gap_s=ocfg.min_gap_s)
+        return add_overlap_segments(
+            final, regions, win_embs, starts_s, win_s,
+            min_cos=ocfg.min_cos, max_overlap_frac=ocfg.max_overlap_frac)
 
     # ------------------------------------------------------------- cluster --
     def _cluster(self, embs: np.ndarray) -> np.ndarray:
