@@ -104,9 +104,11 @@ def build_pipeline(cpu_dtype: bool, enc_weights: str | None = None,
             method="spectral", max_speakers=8,
             refine_splits=os.environ.get("SDTPU_EVAL_REFINE", "1") == "1"),
         # SDTPU_EVAL_OVERLAP=1 enables the overlap-rescue stage
-        # (segment/overlap.py) on top of the flagship map
+        # (segment/overlap.py) on top of the flagship map;
+        # SDTPU_EVAL_OVERLAP_WEIGHTS overrides the detector checkpoint
         overlap=OverlapConfig(
-            enabled=os.environ.get("SDTPU_EVAL_OVERLAP", "0") == "1"),
+            enabled=os.environ.get("SDTPU_EVAL_OVERLAP", "0") == "1",
+            weights=os.environ.get("SDTPU_EVAL_OVERLAP_WEIGHTS")),
         # mirrors the production default (noise-adaptive vad-scope denoise).
         # SDTPU_EVAL_ENHANCE=off disables; =gtcrn|zipenhancer forces a
         # backend; SDTPU_EVAL_ENHANCE_SCOPE=full|vad|auto picks the scope.

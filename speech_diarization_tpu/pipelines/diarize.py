@@ -904,8 +904,9 @@ class DiarizationPipeline:
             from .segmentation import make_seg_activities_fn
 
             w = self.cfg.overlap.weights or prefer_weights(
-                ("segmentation_xf.npz", "segmentation_ow3.npz",
-                 "segmentation_powerset.npz", "segmentation_synthetic.npz"))
+                ("segmentation_conv.npz", "segmentation_xf.npz",
+                 "segmentation_ow3.npz", "segmentation_powerset.npz",
+                 "segmentation_synthetic.npz"))
             if w is None:
                 log.warning("overlap rescue: no segmentation checkpoint "
                             "ships — stage disabled")

@@ -289,8 +289,12 @@ def make_segmentation_example_conv(
     wave = np.zeros(n, np.float64)
     labels = np.zeros((n_frames, max_speakers), np.float32)
 
-    n_spk = int(rng.integers(1, max_speakers + 1))
-    overlap_frac = float(rng.uniform(0.0, 0.6))
+    # favor 2-3 voices (1-voice chunks contribute no overlap positives but
+    # are the hallucination case the generator exists to teach, keep some)
+    n_spk = int(rng.choice(np.arange(1, max_speakers + 1),
+                           p=[0.2, 0.4, 0.4][:max_speakers]
+                           / np.sum([0.2, 0.4, 0.4][:max_speakers])))
+    overlap_frac = float(rng.uniform(0.0, 1.0)) ** 0.5  # mean 2/3
     # a slice of a longer conversation: start mid-stream half the time
     t = 0.0 if rng.uniform() < 0.5 else -float(rng.uniform(0.0, 3.0))
     prev = -1
@@ -303,10 +307,12 @@ def make_segmentation_example_conv(
             spk = (spk + 1) % n_spk
         overlap = prev >= 0 and rng.uniform() < overlap_frac
         if overlap:
-            start = max(last_end - float(rng.uniform(0.1, 2.0)), t - 3.0)
+            start = max(last_end - float(rng.uniform(0.3, 3.0)), t - 3.5)
         else:
             start = t + float(rng.uniform(0.0, 0.8))
-        dur = float(rng.uniform(0.8, 6.0))
+        # whole-floor turns (>= chunk length) 1 time in 6; else dense turns
+        dur = (float(rng.uniform(5.0, 8.0)) if rng.uniform() < 1 / 6
+               else float(rng.uniform(0.8, 4.0)))
         seg_t0 = max(start, 0.0)
         seg_t1 = min(start + dur, dur_s)
         if seg_t1 - seg_t0 >= 0.15:
