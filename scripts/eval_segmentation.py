@@ -41,6 +41,7 @@ def frame_eval(weights: Path, n_batches: int, batch: int, seed: int):
     import jax.numpy as jnp
 
     from speech_diarization_tpu.train.multicond import (
+        make_segmentation_example_conv,
         make_segmentation_example_mc,
     )
     from speech_diarization_tpu.train.recipes import load_segmentation
@@ -54,7 +55,8 @@ def frame_eval(weights: Path, n_batches: int, batch: int, seed: int):
 
     out = {}
     for name, ex_fn in (("indomain", make_segmentation_example),
-                        ("multicond", make_segmentation_example_mc)):
+                        ("multicond", make_segmentation_example_mc),
+                        ("conversation", make_segmentation_example_conv)):
         rng = np.random.default_rng(seed)
         accs, ov_accs, ov_frac = [], [], []
         for _ in range(n_batches):
