@@ -59,6 +59,13 @@ def _add_common_config_args(p: argparse.ArgumentParser) -> None:
                         "file measures noisy")
     p.add_argument("--enhance-weights", type=str, default=None,
                    help=".npz checkpoint override for the enhancer")
+    p.add_argument("--overlap", action="store_true",
+                   help="overlap rescue: add second-speaker segments where "
+                        "the segmentation model detects >=2 active speakers "
+                        "(segment/overlap.py; the flagship map stays "
+                        "authoritative for speaker identity)")
+    p.add_argument("--overlap-weights", type=str, default=None,
+                   help="segmentation checkpoint for the overlap detector")
     p.add_argument("--encoder", default="ecapa",
                    choices=["ecapa", "eres2netv2", "campp"])
     p.add_argument("--encoder-weights", type=str, default=None,
@@ -79,7 +86,8 @@ def _add_common_config_args(p: argparse.ArgumentParser) -> None:
 def build_config(args: argparse.Namespace):
     from .config import (
         AudioConfig, ClusterConfig, DiarizationConfig, EnhanceConfig,
-        MergeConfig, ResegConfig, ScdConfig, VadConfig, config_from_dict,
+        MergeConfig, OverlapConfig, ResegConfig, ScdConfig, VadConfig,
+        config_from_dict,
     )
 
     if args.config:
@@ -112,6 +120,10 @@ def build_config(args: argparse.Namespace):
         merge=MergeConfig(
             max_gap_s=args.merge_gap_s, max_turn_s=args.merge_max_turn_s,
             min_cos=args.merge_min_cos,
+        ),
+        overlap=OverlapConfig(
+            enabled=getattr(args, "overlap", False),
+            weights=getattr(args, "overlap_weights", None),
         ),
     )
 
