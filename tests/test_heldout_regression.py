@@ -177,6 +177,50 @@ def test_babble5_with_demix_frontend():
     assert float(np.mean(ders)) < 0.60, ders
 
 
+def test_overlap_rescue_on_overlap_domain():
+    """The overlap-rescue stage (segment/overlap.py) with a
+    conversation-trained detector must IMPROVE (or at worst match) the
+    flagship on the overlap domain — its whole purpose is recovering the
+    overlap-miss floor.  Relative gate so it tracks encoder improvements.
+    Skips without ``segmentation_conv.npz``: the xf checkpoint hallucinates
+    overlap on out-of-family audio and the sanity cap correctly vetoes it
+    (measured 2026-08-20), so the stage is a no-op under older weights."""
+    conv = WROOT / "segmentation_conv.npz"
+    if PROTO is None or not MC_VAD.exists():
+        pytest.skip("robust weights not shipped")
+    if not conv.exists():
+        pytest.skip("no conversation-trained overlap detector "
+                    "(chip_queue11 trains segmentation_conv.npz)")
+    from functools import partial
+
+    from speech_diarization_tpu.config import (
+        ClusterConfig, DiarizationConfig, OverlapConfig,
+    )
+    from speech_diarization_tpu.pipelines.diarize import DiarizationPipeline
+    from speech_diarization_tpu.train.heldout import make_conversation_heldout
+    from speech_diarization_tpu.train.recipes import load_speaker_encoder, load_vad
+
+    model, params = load_speaker_encoder(PROTO)
+    vad, vp = load_vad(MC_VAD)
+    vad_fn = jax.jit(partial(vad.probs, vp))
+    pipes = {}
+    for on in (False, True):
+        cfg = DiarizationConfig(
+            cluster=ClusterConfig(method="spectral", max_speakers=8),
+            overlap=OverlapConfig(enabled=on, weights=str(conv)))
+        pipes[on] = DiarizationPipeline(cfg, encoder=(model, params),
+                                        vad_probs_fn=vad_fn)
+    on_ders, off_ders = [], []
+    for i in range(2):
+        rng = np.random.default_rng(1000 + i)
+        wave, truth = make_conversation_heldout(
+            rng, 60.0, n_speakers=3, sr=16000, overlap_frac=0.3)
+        off_ders.append(_score(pipes[False], wave, truth))
+        on_ders.append(_score(pipes[True], wave, truth))
+    assert float(np.mean(on_ders)) <= float(np.mean(off_ders)) + 0.005, (
+        on_ders, off_ders)
+
+
 @pytest.mark.skipif(not R1.exists() or not MC_VAD.exists(),
                     reason="r1 weights not shipped")
 def test_indomain_der_distribution():
