@@ -57,9 +57,32 @@ def detect_overlap_regions(
     chunk = int(chunk_s * sr)
     stride = max(1, int(chunk_hop_s * sr))
     n_chunks = max(1, -(-max(len(y) - chunk, 0) // stride) + 1)
-    yp = np.pad(y, (0, max(0, (n_chunks - 1) * stride + chunk - len(y))))
-    idx = np.arange(n_chunks)[:, None] * stride + np.arange(chunk)[None, :]
-    acts = np.asarray(seg_fn(jnp.asarray(yp[idx])))
+
+    # One [T] upload + fixed-shape device-side window gather: the naive
+    # host-side [n_chunks, chunk] materialization uploads 2.4x the waveform
+    # (50% chunk overlap) — ~300 MB for a 600 s file over the axon tunnel.
+    # Batches of GATHER_BATCH chunks keep every dispatch one compiled shape.
+    GATHER_BATCH = 24
+    n_batches = -(-n_chunks // GATHER_BATCH)
+    pad_to = (n_batches * GATHER_BATCH - 1) * stride + chunk
+    yp_dev = jnp.asarray(np.pad(y, (0, max(0, pad_to - len(y)))))
+    rel_idx = (np.arange(GATHER_BATCH)[:, None] * stride
+               + np.arange(chunk)[None, :])
+
+    import jax
+    from jax import lax
+
+    @jax.jit
+    def gather_batch(ypad, start):
+        flat = lax.dynamic_slice(
+            ypad, (start,), ((GATHER_BATCH - 1) * stride + chunk,))
+        return flat[rel_idx]
+
+    parts = []
+    for b in range(n_batches):
+        parts.append(np.asarray(
+            seg_fn(gather_batch(yp_dev, b * GATHER_BATCH * stride))))
+    acts = np.concatenate(parts, axis=0)[:n_chunks]
     if getattr(seg_fn, "dual", False):
         acts = acts[..., acts.shape[-1] // 2:]  # hard decisions
     else:
