@@ -195,9 +195,19 @@ def main() -> None:
 
     grid_backend = os.environ.get("SDTPU_BENCH_GRID", "auto")
     log(f"grid backend: {grid_backend}")
+    # SDTPU_BENCH_OVERLAP=1/0 overrides the overlap-rescue default so the
+    # rescue's bench cost can be measured BEFORE/AFTER flipping the shipped
+    # default (VERDICT r4 #2: the flip needs a paid-for bench pass).
+    from speech_diarization_tpu.config import OverlapConfig
+
+    ov_env = os.environ.get("SDTPU_BENCH_OVERLAP")
+    overlap_cfg = (OverlapConfig(enabled=ov_env == "1") if ov_env is not None
+                   else OverlapConfig())
+    log(f"overlap rescue: {'on' if overlap_cfg.enabled else 'off'}")
     cfg = DiarizationConfig(
         cluster=ClusterConfig(method="spectral", max_speakers=8),
         embed=EmbedConfig(grid_backend=grid_backend),
+        overlap=overlap_cfg,
     )
     pipe = DiarizationPipeline(cfg, encoder=(ecapa, ecapa_params),
                                vad_probs_fn=vad_probs_fn)
@@ -325,14 +335,25 @@ def main() -> None:
             log(f"corpus bench failed: {str(e)[:200]}")
 
     # -- milestone 3.5: MFU / roofline attribution of the hot stage ----------
+    # VERDICT r4 weak-1: a single tunnel transport error silently deleted the
+    # round's MFU line from the artifact.  Retry up to 3x; if every attempt
+    # dies, fall back to the last-good values persisted in
+    # .bench_mfu_last.json (committed) with a "stale" marker so the
+    # cross-round MFU series never has a hole.
     if os.environ.get("SDTPU_BENCH_MFU", "1") == "1":
-        try:
-            mfu = _mfu_micro_bench(ecapa, ecapa_params)
+        mfu = _retry("mfu micro-bench",
+                     lambda: _mfu_micro_bench(ecapa, ecapa_params))
+        if mfu is not None:
             log(f"mfu micro-bench: {mfu}")
+            _save_last_good_mfu(mfu)
+        else:
+            mfu = _load_last_good_mfu()
+            if mfu is not None:
+                log(f"mfu micro-bench: all retries failed, "
+                    f"emitting last-good values as stale: {mfu}")
+        if mfu is not None:
             extra.update(mfu)
             emit(rtf, f"{int(FULL_S)}s_full", extra)
-        except Exception as e:  # pragma: no cover
-            log(f"mfu micro-bench failed: {str(e)[:200]}")
 
     # -- milestone 4 (poison-safe tail): Pallas-ASP under sharding -------------
     # VERDICT r3 weak-8: the pallas kernel and the device mesh had never met.
@@ -342,13 +363,12 @@ def main() -> None:
     # output.  Runs after the final result line (a Mosaic compile failure
     # poisons the process, but the headline JSON is already out).
     if os.environ.get("SDTPU_BENCH_SHARDED_ASP", "1") == "1":
-        try:
-            sh = _sharded_asp_check(ecapa, ecapa_params)
+        sh = _retry("sharded pallas-ASP check",
+                    lambda: _sharded_asp_check(ecapa, ecapa_params))
+        if sh is not None:
             log(f"sharded pallas-ASP check: {sh}")
             extra.update(sh)
             emit(rtf, f"{int(FULL_S)}s_full", extra)
-        except Exception as e:  # pragma: no cover
-            log(f"sharded pallas-ASP check failed: {str(e)[:200]}")
 
     # -- milestone 5 (opt-in): fused-vs-matmul fbank ---------------------------
     # Retired from the default headline (VERDICT r3 weak-5: three rounds of
@@ -360,6 +380,40 @@ def main() -> None:
             emit(rtf, f"{int(FULL_S)}s_full", {**extra, **fb})
         except Exception as e:  # pragma: no cover
             log(f"fbank micro-bench failed: {str(e)[:200]}")
+
+
+def _retry(name: str, fn, attempts: int = 3, sleep_s: float = 10.0):
+    """Run ``fn`` up to ``attempts`` times (the axon tunnel drops transport
+    mid-read — 'response body closed before all bytes were read' killed the
+    r4 MFU line).  Returns the result or None after the last failure; every
+    failure is logged so the artifact's stderr explains a stale marker."""
+    for k in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # pragma: no cover - tunnel-dependent
+            log(f"{name} attempt {k + 1}/{attempts} failed: {str(e)[:200]}")
+            if k + 1 < attempts:
+                time.sleep(sleep_s)
+    return None
+
+
+_MFU_CACHE = Path(__file__).resolve().parent / ".bench_mfu_last.json"
+
+
+def _save_last_good_mfu(mfu: dict) -> None:
+    try:
+        _MFU_CACHE.write_text(json.dumps(mfu, indent=1) + "\n")
+    except OSError as e:  # pragma: no cover
+        log(f"could not persist last-good MFU: {e}")
+
+
+def _load_last_good_mfu() -> dict | None:
+    try:
+        mfu = json.loads(_MFU_CACHE.read_text())
+    except (OSError, ValueError):
+        return None
+    mfu["mfu_stale"] = True
+    return mfu
 
 
 def _mfu_micro_bench(model, params, iters: int = 5) -> dict:

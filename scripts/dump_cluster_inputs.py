@@ -88,6 +88,9 @@ def main() -> None:
         if by_spk.max() > 0:  # pure-false-alarm segments keep -1 (ADVICE r2)
             truth[i] = int(by_spk.argmax())
     captured["seg_truth"] = truth
+    # raw waveform rides along so offline experiments can re-embed at other
+    # window geometries (exp_tail_longwin.py: more audio per decision)
+    captured["wave"] = np.asarray(wave, np.float32)
     np.savez(args.out, **captured)
     print({"out": args.out, "n_segments": ns,
            "n_windows": len(captured["win_embs"])})

@@ -95,7 +95,8 @@ def frame_eval(weights: Path, n_batches: int, batch: int, seed: int):
 
 
 def pipeline_eval(weights: Path, n_files: int, dur_s: float, n_speakers: int,
-                  overlap_frac: float, seed: int, cpu: bool):
+                  overlap_frac: float, seed: int, cpu: bool,
+                  aggregate: bool | None = None):
     """Overlap-aware DER: segmentation engine vs flagship on held-out
     overlapping conversations."""
     from functools import partial
@@ -134,6 +135,8 @@ def pipeline_eval(weights: Path, n_files: int, dur_s: float, n_speakers: int,
 
     seg_fn = make_seg_activities_fn(seg_model, seg_params)
     seg_cfg = SegmentationConfig()
+    if aggregate is not None:
+        seg_cfg.aggregate = aggregate
 
     rows = []
     for i in range(n_files):
@@ -171,6 +174,18 @@ def pipeline_eval(weights: Path, n_files: int, dur_s: float, n_speakers: int,
     return out
 
 
+# THE canonical evaluation protocol (VERDICT r4 #7: cross-round engine
+# numbers were unjudgeable because each round quoted a different generator
+# mix).  Every number quoted in weights/README.md or STATUS.md MUST carry
+# this tag and be produced by `--pinned`.  The pin: frame eval reported
+# PER GENERATOR FAMILY (indomain = train/synthetic chaotic mix — the r3
+# series; conversation = the r4 turn-taking family; multicond = channel-
+# augmented), 8 batches x 8 chunks, seed 0; pipeline eval 3 x 60 s
+# 3-speaker overlap-0.3 conversations, seed 0, scored with aggregation
+# BOTH off and on.  Bump the version when anything here changes.
+PINNED_PROTOCOL = "seg-eval-v1"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--weights", type=str,
@@ -185,6 +200,13 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--frames-only", action="store_true")
+    ap.add_argument("--aggregate", choices=["on", "off"], default=None,
+                    help="override SegmentationConfig.aggregate for the "
+                         "pipeline eval (default: config default)")
+    ap.add_argument("--pinned", action="store_true",
+                    help=f"run the canonical '{PINNED_PROTOCOL}' protocol: "
+                         "default frame/pipeline shapes, seed 0, pipeline "
+                         "scored with aggregation off AND on")
     args = ap.parse_args()
 
     if args.cpu:
@@ -193,11 +215,25 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
 
     w = Path(args.weights)
+    if args.pinned:
+        frame = frame_eval(w, 8, 8, 0)
+        out = {"metric": "segmentation_quality", "protocol": PINNED_PROTOCOL,
+               "weights": w.name, "frame": frame}
+        if not args.frames_only:
+            for mode, agg in (("pipeline_center_trim", False),
+                              ("pipeline_aggregate", True)):
+                print(f"--- pipeline eval (aggregate={agg}) ---",
+                      file=sys.stderr)
+                out[mode] = pipeline_eval(w, 3, 60.0, 3, 0.3, 0, args.cpu,
+                                          aggregate=agg)
+        print(json.dumps(out))
+        return
     frame = frame_eval(w, args.n_batches, args.batch, args.seed)
     pipe = None
     if not args.frames_only:
+        agg = None if args.aggregate is None else (args.aggregate == "on")
         pipe = pipeline_eval(w, args.n_files, args.dur, args.speakers,
-                             args.overlap, args.seed, args.cpu)
+                             args.overlap, args.seed, args.cpu, aggregate=agg)
     print(json.dumps({"metric": "segmentation_quality",
                       "weights": w.name, "frame": frame, "pipeline": pipe}))
 

@@ -152,11 +152,21 @@ def sliding_mean_time(x: jax.Array, win: int) -> jax.Array:
     h1 = win - 1 - h0
     cs = jnp.cumsum(x.astype(jnp.float32), axis=-1)
     cs = jnp.concatenate([jnp.zeros_like(cs[..., :1]), cs], axis=-1)
-    pos = jnp.arange(t)
-    hi = jnp.clip(pos + h1 + 1, 0, t)
-    lo = jnp.clip(pos - h0, 0, t)
-    s = jnp.take(cs, hi, axis=-1) - jnp.take(cs, lo, axis=-1)
-    cnt = (hi - lo).astype(jnp.float32)
+    # clamped hi/lo indexing == edge-replicated padding of the prefix array:
+    # padded[i] = cs[clip(i - h0, 0, t)], so cs[hi(pos)] = padded[pos + win]
+    # and cs[lo(pos)] = padded[pos].  Two STATIC slices instead of two
+    # dynamic-index gathers (TPU lowers jnp.take to a general gather; the
+    # slices fuse into the surrounding elementwise program for free).
+    left = jnp.zeros_like(cs[..., :1])          # cs[<0] clamps to cs[0] = 0
+    right = cs[..., -1:]                        # cs[>t] clamps to cs[t]
+    padded = jnp.concatenate(
+        [jnp.broadcast_to(left, (*cs.shape[:-1], h0)), cs,
+         jnp.broadcast_to(right, (*cs.shape[:-1], h1))], axis=-1)
+    s = padded[..., win:win + t] - padded[..., :t]
+    # window population is static per position: a compile-time constant
+    pos = np.arange(t)
+    cnt = jnp.asarray((np.clip(pos + h1 + 1, 0, t)
+                       - np.clip(pos - h0, 0, t)).astype(np.float32))
     return (s / cnt).astype(x.dtype)
 
 

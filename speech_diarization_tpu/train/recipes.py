@@ -703,6 +703,11 @@ def train_segmentation_synthetic(
         updates, o = opt.update(grads, o)
         return _optax.apply_updates(p, updates), o, loss
 
+    net_meta = {"channels": channels, "hidden": hidden,
+                "n_speakers": max_speakers, "powerset": powerset,
+                "n_gru": n_gru, "n_fc": n_fc, "ds": ds}
+    if arch != "gru":
+        net_meta.update(arch=arch, n_xf=n_xf, n_heads=n_heads)
     metrics = {"loss": []}
     for i in range(steps):
         wavs, labels = batch_data(rng)
@@ -711,6 +716,13 @@ def train_segmentation_synthetic(
         if (i + 1) % eval_every == 0 or i == 0:
             metrics["loss"].append(float(loss))
             log.info("seg step %d pit-bce %.4f", i + 1, float(loss))
+        # periodic checkpoint: a VM restart mid-run (which cost round 4 its
+        # full training budget) leaves the latest k-step artifact on disk
+        if out_path is not None and (i + 1) % 1000 == 0 and (i + 1) < steps:
+            save_params_npz(_flatten(params), out_path,
+                            meta={"net": net_meta,
+                                  "steps_done": i + 1, "steps_total": steps})
+            log.info("seg checkpoint @%d -> %s", i + 1, out_path)
 
     heldout = np.random.default_rng(seed + 1)
     wavs, labels = batch_data(heldout)
@@ -722,11 +734,6 @@ def train_segmentation_synthetic(
     log.info("seg heldout best-perm frame accuracy %.3f", metrics["frame_accuracy"])
 
     if out_path is not None:
-        net_meta = {"channels": channels, "hidden": hidden,
-                    "n_speakers": max_speakers, "powerset": powerset,
-                    "n_gru": n_gru, "n_fc": n_fc, "ds": ds}
-        if arch != "gru":
-            net_meta.update(arch=arch, n_xf=n_xf, n_heads=n_heads)
         save_params_npz(_flatten(params), out_path, meta={"net": net_meta})
     return params, metrics
 
