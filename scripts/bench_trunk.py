@@ -109,14 +109,24 @@ def main() -> None:
     def fbank(y):
         return log_mel_spectrogram(y[None], sample_rate=SR, n_mels=net.n_mels)
 
+    import os
+
     t_full = amortized(full, seg, label="full")
-    t_trunk = amortized(trunk, seg, label="trunk")
+    t_trunk = amortized(trunk, seg, label="trunk[banded]")
+    os.environ["SDTPU_SLIDING_BACKEND"] = "cumsum"
+    try:
+        t_trunk_cs = amortized(trunk, seg, label="trunk[cumsum]")
+        t_full_cs = amortized(full, seg, label="full[cumsum]")
+    finally:
+        os.environ.pop("SDTPU_SLIDING_BACKEND", None)
     t_nostat = amortized(trunk_nostat, seg, label="trunk_nostat")
     t_fbank = amortized(fbank, seg, label="fbank")
-    print(f"\nattribution: full {t_full*1e3:.3f} ms | trunk {t_trunk*1e3:.3f} "
-          f"| sliding-stats {max(t_trunk-t_nostat,0)*1e3:.3f} "
-          f"| convs+bn {max(t_nostat-t_fbank,0)*1e3:.3f} "
-          f"| fbank {t_fbank*1e3:.3f} | asp-head {max(t_full-t_trunk,0)*1e3:.3f}")
+    print(f"\nattribution: full {t_full*1e3:.3f} ms (cumsum {t_full_cs*1e3:.3f})"
+          f" | trunk banded {t_trunk*1e3:.3f} vs cumsum {t_trunk_cs*1e3:.3f}"
+          f" | sliding-stats {max(t_trunk-t_nostat,0)*1e3:.3f}"
+          f" | convs+bn {max(t_nostat-t_fbank,0)*1e3:.3f}"
+          f" | fbank {t_fbank*1e3:.3f}"
+          f" | asp-head {max(t_full-t_trunk,0)*1e3:.3f}")
 
 
 if __name__ == "__main__":

@@ -65,24 +65,35 @@ def frame_eval(weights: Path, n_batches: int, batch: int, seed: int):
             act = np.asarray(act_fn(jnp.asarray(wavs)))
             n = min(act.shape[1], labels.shape[1])
             act, labels = act[:, :n], labels[:, :n]
-            # one permutation enumeration serves both metrics: best-perm
-            # chosen on ALL frames (the deployment permutation), overlap
-            # accuracy read off the same permutation
+            # permutation chosen PER CHUNK (models/segmentation.
+            # best_permutation_accuracy semantics): slot identity is only
+            # meaningful within one chunk under PIT training — a single
+            # batch-global permutation (the pre-r5 behavior of this script)
+            # punished chunks whose arbitrary slot order disagreed with the
+            # majority and under-read every checkpoint by 4-6 pts (measured
+            # 0.856 global vs 0.908 per-chunk on segmentation_xf).  The
+            # overlap accuracy rides each chunk's own best permutation.
             import itertools
 
             ov = (labels > 0.5).sum(-1) >= 2  # >=2 slots truly active [B, T]
             ov_frac.append(float(ov.mean()))
             k = act.shape[-1]
-            best_all, best_ov = 0.0, 0.0
-            for perm in itertools.permutations(range(k)):
-                ok = (act[..., list(perm)] > 0.5) == (labels > 0.5)
-                a_all = float(ok.mean())
-                if a_all > best_all:
-                    best_all = a_all
-                    best_ov = float(ok[ov].mean()) if ov.any() else 0.0
-            accs.append(best_all)
-            if ov.any():
-                ov_accs.append(best_ov)
+            perms = list(itertools.permutations(range(k)))
+            per_ex = np.stack([
+                ((act[..., list(p)] > 0.5) == (labels > 0.5)).mean(axis=(1, 2))
+                for p in perms
+            ])  # [K!, B]
+            best_ex = per_ex.argmax(axis=0)  # best perm index per chunk
+            ex_accs, ex_ov = [], []
+            for b_i, p_i in enumerate(best_ex):
+                ok = ((act[b_i][:, list(perms[p_i])] > 0.5)
+                      == (labels[b_i] > 0.5))
+                ex_accs.append(float(ok.mean()))
+                if ov[b_i].any():
+                    ex_ov.append(float(ok[ov[b_i]].mean()))
+            accs.append(float(np.mean(ex_accs)))
+            if ex_ov:
+                ov_accs.append(float(np.mean(ex_ov)))
         out[name] = {
             "best_perm_acc": round(float(np.mean(accs)), 4),
             "overlap_frame_acc": round(float(np.mean(ov_accs)), 4) if ov_accs else None,
@@ -180,7 +191,8 @@ def pipeline_eval(weights: Path, n_files: int, dur_s: float, n_speakers: int,
 # this tag and be produced by `--pinned`.  The pin: frame eval reported
 # PER GENERATOR FAMILY (indomain = train/synthetic chaotic mix — the r3
 # series; conversation = the r4 turn-taking family; multicond = channel-
-# augmented), 8 batches x 8 chunks, seed 0; pipeline eval 3 x 60 s
+# augmented), permutation chosen PER CHUNK (local-PIT semantics, see
+# frame_eval), 8 batches x 8 chunks, seed 0; pipeline eval 3 x 60 s
 # 3-speaker overlap-0.3 conversations, seed 0, scored with aggregation
 # BOTH off and on.  Bump the version when anything here changes.
 PINNED_PROTOCOL = "seg-eval-v1"

@@ -137,36 +137,68 @@ def batch_norm_apply(
     return x * scale.astype(x.dtype) + shift.astype(x.dtype)
 
 
-def sliding_mean_time(x: jax.Array, win: int) -> jax.Array:
+def sliding_mean_time(x: jax.Array, win: int, backend: str = "auto") -> jax.Array:
     """Centered moving average over the trailing (time) axis, same length.
 
     Edge positions average over the clamped valid range (a shrinking window),
-    so no padding bias enters.  Computed as a cumulative-sum difference in
-    f32: one pass regardless of ``win``, and shift-invariant — every sliding
-    window sees the same statistic it would get from an isolated crop (up to
-    edge effects), which is what lets a whole-file trunk pass stand in for
+    so no padding bias enters.  Shift-invariant — every sliding window sees
+    the same statistic it would get from an isolated crop (up to edge
+    effects), which is what lets a whole-file trunk pass stand in for
     per-window forwards (models/ecapa.py streaming mode).
+
+    Backends (VERDICT r4 #4 — the trunk's sliding-stat chains were named as
+    the HBM/VPU residual):
+
+    * ``banded`` (default for windows that fit 3 blocks): the sliding sum
+      as a 3-block band matmul — blocks of ``B`` frames contract a static
+      ``[3B, B]`` 0/1 band matrix, so the whole statistic is ONE batched
+      MXU matmul with no scan, no gather, and no log-pass cumsum.  f32
+      operands at HIGHEST precision (the mean feeds a subtraction in
+      log-mel space; bf16 rounding there measurably shifts embeddings).
+    * ``cumsum``: prefix-sum difference in f32 with STATIC slices over an
+      edge-padded prefix array (clamped-index semantics == edge padding) —
+      one pass regardless of ``win``, VPU-bound.
     """
     t = x.shape[-1]
     h0 = win // 2
     h1 = win - 1 - h0
+    # window population is static per position: a compile-time constant
+    pos = np.arange(t)
+    cnt = jnp.asarray((np.clip(pos + h1 + 1, 0, t)
+                       - np.clip(pos - h0, 0, t)).astype(np.float32))
+    if backend == "auto":
+        import os
+
+        backend = os.environ.get("SDTPU_SLIDING_BACKEND", "auto")
+    if backend == "auto":
+        backend = "banded" if max(h0, h1) <= 512 else "cumsum"
+    if backend == "banded":
+        b = max(128, -(-max(h0, h1, 1) // 128) * 128)
+        n = -(-t // b)
+        lead = [(0, 0)] * (x.ndim - 1)
+        xp = jnp.pad(x.astype(jnp.float32), lead + [(0, n * b - t)])
+        xb = xp.reshape(*x.shape[:-1], n, b)
+        prev = jnp.pad(xb, lead + [(1, 0), (0, 0)])[..., :n, :]
+        nxt = jnp.pad(xb, lead + [(0, 1), (0, 0)])[..., 1:, :]
+        x3 = jnp.concatenate([prev, xb, nxt], axis=-1)      # [..., n, 3B]
+        k = np.arange(3 * b)[:, None] - b                    # input offset
+        o = np.arange(b)[None, :]                            # output pos
+        band = ((k >= o - h0) & (k <= o + h1)).astype(np.float32)
+        s = jnp.einsum("...nk,kb->...nb", x3, jnp.asarray(band),
+                       precision=jax.lax.Precision.HIGHEST)
+        s = s.reshape(*x.shape[:-1], n * b)[..., :t]
+        return (s / cnt).astype(x.dtype)
     cs = jnp.cumsum(x.astype(jnp.float32), axis=-1)
     cs = jnp.concatenate([jnp.zeros_like(cs[..., :1]), cs], axis=-1)
     # clamped hi/lo indexing == edge-replicated padding of the prefix array:
     # padded[i] = cs[clip(i - h0, 0, t)], so cs[hi(pos)] = padded[pos + win]
-    # and cs[lo(pos)] = padded[pos].  Two STATIC slices instead of two
-    # dynamic-index gathers (TPU lowers jnp.take to a general gather; the
-    # slices fuse into the surrounding elementwise program for free).
+    # and cs[lo(pos)] = padded[pos]: two STATIC slices, no gathers.
     left = jnp.zeros_like(cs[..., :1])          # cs[<0] clamps to cs[0] = 0
     right = cs[..., -1:]                        # cs[>t] clamps to cs[t]
     padded = jnp.concatenate(
         [jnp.broadcast_to(left, (*cs.shape[:-1], h0)), cs,
          jnp.broadcast_to(right, (*cs.shape[:-1], h1))], axis=-1)
     s = padded[..., win:win + t] - padded[..., :t]
-    # window population is static per position: a compile-time constant
-    pos = np.arange(t)
-    cnt = jnp.asarray((np.clip(pos + h1 + 1, 0, t)
-                       - np.clip(pos - h0, 0, t)).astype(np.float32))
     return (s / cnt).astype(x.dtype)
 
 

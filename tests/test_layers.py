@@ -148,3 +148,45 @@ class TestGru:
             ref, _ = m(torch.from_numpy(x))
         out, _ = layers.bigru_sequence(jnp.asarray(x), fwd, bwd)
         np.testing.assert_allclose(np.asarray(out), _np(ref), atol=1e-4)
+
+
+class TestSlidingMeanTime:
+    """Both sliding-mean backends against a brute-force clamped-window mean.
+
+    The banded backend is the streaming trunk's hot path (VERDICT r4 #4:
+    the sliding-stat chains were the trunk's VPU residual — the band matmul
+    moves them onto the MXU); the cumsum backend is the general fallback
+    for windows wider than the 3-block band."""
+
+    def _ref(self, x, win):
+        h0, h1 = win // 2, win - 1 - win // 2
+        t = x.shape[-1]
+        out = np.zeros_like(x)
+        for p in range(t):
+            lo, hi = max(p - h0, 0), min(p + h1 + 1, t)
+            out[..., p] = x[..., lo:hi].mean(-1)
+        return out
+
+    def test_backends_match_reference(self):
+        g = np.random.default_rng(3)
+        for t, win in [(50, 7), (100, 201), (33, 33), (10, 4), (7, 20),
+                       (300, 257), (513, 128)]:
+            x = g.standard_normal((2, 5, t)).astype(np.float32)
+            ref = self._ref(x, win)
+            for backend in ("banded", "cumsum"):
+                got = np.asarray(layers.sliding_mean_time(
+                    jnp.asarray(x), win, backend=backend))
+                np.testing.assert_allclose(got, ref, atol=1e-5,
+                                           err_msg=f"{backend} t={t} win={win}")
+
+    def test_banded_differentiable(self):
+        import jax
+
+        g = np.random.default_rng(4)
+        x = jnp.asarray(g.standard_normal((3, 40)).astype(np.float32))
+        grad = jax.grad(lambda v: layers.sliding_mean_time(
+            v, 9, backend="banded").sum())(x)
+        # sum-of-means gradient: each input position contributes 1/cnt to
+        # every window containing it; all finite, strictly positive
+        assert np.isfinite(np.asarray(grad)).all()
+        assert (np.asarray(grad) > 0).all()
