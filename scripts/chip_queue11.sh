@@ -13,10 +13,10 @@ if [ -f /tmp/chipq10.pid ]; then
 fi
 
 echo "=== [1/4] segmentation conv-mix retrain (warm from xf) ==="
-# NOTE: the SHIPPED weights/segmentation_conv.npz was produced by this
-# recipe at --steps 1600 (reduced budget after the 2026-08-20 VM restart,
-# see STATUS.md), not the 8000 below.  The full-budget 8000-step artifact
-# is round 5's weights/segmentation_conv8k.npz (chip_queue13).
+# NOTE: r4 shipped this recipe at --steps 1600 (reduced budget after the
+# 2026-08-20 VM restart); round 5 re-ran it at the full 8000 below
+# (chip_queue13 stage 1) and THAT artifact is the shipped
+# weights/segmentation_conv.npz — recipe and artifact match again.
 timeout 14000 python scripts/train_mc.py segmentation --powerset \
   --src weights/segmentation_xf.npz \
   --seg-arch xf --seg-xf 4 --seg-heads 4 --seg-ds 3 \

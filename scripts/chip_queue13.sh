@@ -24,6 +24,10 @@ timeout 14000 python scripts/train_mc.py segmentation --powerset \
   --seg-channels 128 --seg-hidden 128 \
   --steps 8000 --overlap-weight 2.0 --seg-mixed --seg-conv-frac 0.5 \
   --out weights/segmentation_conv8k.npz
+# ship step (2026-08-21): conv8k strictly dominated the 1600-step r4
+# checkpoint (pinned frame 0.8905/0.8958/0.9042, engine DER 18.31 vs
+# 22.14%, detector F1 0.812 vs 0.80) and was f16-compressed and shipped
+# AS weights/segmentation_conv.npz; the conv8k working file was removed.
 
 echo "=== [2/8] pinned-protocol seg eval: conv8k vs shipped conv1600 ==="
 timeout 3600 python scripts/eval_segmentation.py --pinned \
