@@ -121,6 +121,29 @@ def main() -> None:
         os.environ.pop("SDTPU_SLIDING_BACKEND", None)
     t_nostat = amortized(trunk_nostat, seg, label="trunk_nostat")
     t_fbank = amortized(fbank, seg, label="fbank")
+
+    def fbank_bf16(y):
+        return log_mel_spectrogram(y[None], sample_rate=SR, n_mels=net.n_mels,
+                                   backend="matmul-bf16")
+
+    t_fb16 = amortized(fbank_bf16, seg, label="fbank[matmul-bf16]")
+    if not args.cpu:
+        def fbank_fused(y):
+            return log_mel_spectrogram(y[None], sample_rate=SR,
+                                       n_mels=net.n_mels, backend="fused")
+
+        try:
+            amortized(fbank_fused, seg, label="fbank[fused-pallas]")
+        except Exception as e:
+            print(f"fbank[fused-pallas] failed: {str(e)[:150]}")
+    os.environ["SDTPU_FBANK_BACKEND"] = "matmul-bf16"
+    try:
+        t_full16 = amortized(full, seg, label="full[fbank-bf16]")
+        t_trunk16 = amortized(trunk, seg, label="trunk[fbank-bf16]")
+    finally:
+        os.environ.pop("SDTPU_FBANK_BACKEND", None)
+    print(f"fbank bf16 {t_fb16*1e3:.3f} ms vs f32 {t_fbank*1e3:.3f}; "
+          f"full w/ bf16 fbank {t_full16*1e3:.3f}, trunk {t_trunk16*1e3:.3f}")
     print(f"\nattribution: full {t_full*1e3:.3f} ms (cumsum {t_full_cs*1e3:.3f})"
           f" | trunk banded {t_trunk*1e3:.3f} vs cumsum {t_trunk_cs*1e3:.3f}"
           f" | sliding-stats {max(t_trunk-t_nostat,0)*1e3:.3f}"

@@ -25,7 +25,7 @@ sys.path.insert(0, str(ROOT))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--weights", default="weights/segmentation_conv8k.npz")
+    ap.add_argument("--weights", default="weights/segmentation_conv.npz")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 

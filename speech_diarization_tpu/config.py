@@ -284,6 +284,14 @@ class OverlapConfig:
     # sanity veto: if the model marks more than this fraction of total
     # speech as overlapped, it is hallucinating — skip the rescue
     max_overlap_frac: float = 0.5
+    # noise veto: skip the rescue when the file's estimated SNR is below
+    # this floor (same statistic and default as the enhance auto-gate and
+    # the refine-split floor).  MEASURED 2026-08-21: the conversation-
+    # trained detector reads a babble bed as overlapping speech — rescue ON
+    # took heldout-babble15 3.48 -> 10.81% while every clean domain was
+    # unchanged or improved; under the gate the rescue only runs where its
+    # detections are trustworthy.  None disables the veto.
+    min_snr_db: float | None = 25.0
 
 
 @dataclass(frozen=True)

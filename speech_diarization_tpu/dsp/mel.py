@@ -117,8 +117,23 @@ def log_mel_spectrogram(
     frames = frames * window[None, None, :]
 
     cos_m, msin_m = _dft_matrices(n_fft)
-    real = jnp.einsum("bnt,tk->bnk", frames, jnp.asarray(cos_m))
-    imag = jnp.einsum("bnt,tk->bnk", frames, jnp.asarray(msin_m))
+    if (backend or _fbank_backend()) == "matmul-bf16":
+        # bf16 DFT operands, f32 accumulation: 2x MXU rate / half the HBM
+        # for the one matmul that dominates the streaming trunk's fbank
+        # (bench_trunk.py attribution).  Audio is [-1, 1] so bf16's 8-bit
+        # mantissa costs ~3e-3 relative on the waveform; the log compresses
+        # it further and the trunk runs bf16 anyway.  Opt-in via
+        # SDTPU_FBANK_BACKEND=matmul-bf16; parity gated in tests.
+        fb16 = frames.astype(jnp.bfloat16)
+        real = jnp.einsum("bnt,tk->bnk", fb16,
+                          jnp.asarray(cos_m).astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        imag = jnp.einsum("bnt,tk->bnk", fb16,
+                          jnp.asarray(msin_m).astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    else:
+        real = jnp.einsum("bnt,tk->bnk", frames, jnp.asarray(cos_m))
+        imag = jnp.einsum("bnt,tk->bnk", frames, jnp.asarray(msin_m))
     power = real * real + imag * imag  # [B, n, n_bins]
 
     fb = mel_filterbank(n_fft // 2 + 1, f_min, f_max, n_mels, sample_rate)

@@ -874,10 +874,20 @@ class DiarizationPipeline:
 
         final = merge_adjacent(speech4, cfg.merge.max_gap_s)
         if cfg.overlap.enabled and y is not None:
-            with stage_timer(log, "overlap-rescue"):
-                final = self._overlap_rescue(
-                    y, sr or cfg.audio.sample_rate, final,
-                    win_embs, starts_s, grid_win_s)
+            snr = getattr(self, "_last_snr_db", None)
+            floor = cfg.overlap.min_snr_db
+            if snr is not None and floor is not None and snr < floor:
+                # noise veto (OverlapConfig.min_snr_db): the conversation-
+                # trained detector reads a babble bed as overlap (measured
+                # babble15 3.48 -> 10.81% with rescue ON)
+                log.info("overlap-rescue: skipped (est SNR %.1f dB < %.1f "
+                         "floor — detector untrustworthy under noise)",
+                         snr, floor)
+            else:
+                with stage_timer(log, "overlap-rescue"):
+                    final = self._overlap_rescue(
+                        y, sr or cfg.audio.sample_rate, final,
+                        win_embs, starts_s, grid_win_s)
         num_speakers = len({int(k) for k in final.spks if k >= 0})
 
         diagnostics: dict[str, Any] = {}

@@ -77,10 +77,15 @@ class SegmentationConfig:
     # overlapped slot segments embed a 2-speaker mixture and the global
     # clustering confuses them (measured: conf 19.2% -> see STATUS).
     masked_embeddings: bool = True
-    # global clustering backend over slot-segment embeddings: "ahc"
-    # (threshold agglomerative, the pyannote default) or "spectral" (the
-    # flagship's sharpened-affinity eigengap backend).
-    cluster_method: str = "ahc"
+    # global clustering backend over slot-segment embeddings: "spectral"
+    # (the flagship's sharpened-affinity eigengap backend) or "ahc"
+    # (threshold agglomerative, the pyannote default).  MEASURED 2026-08-21
+    # (scripts/exp_engine_cluster.py, conv8k detections, pinned pipeline
+    # files): spectral DER 9.41% (conf 1.97) vs ahc-0.70's 18.31% (conf
+    # 11.09) — the eigengap count estimate + sharpened affinity fix the
+    # slot-segment confusion AHC's fixed threshold leaves behind, taking
+    # the engine BELOW the flagship (10.77%) on overlapping files.
+    cluster_method: str = "spectral"
 
 
 def _binarize_activity(act: np.ndarray, cfg: SegmentationConfig,

@@ -308,3 +308,19 @@ class TestIirChunked:
         y = (0.1 * g.standard_normal(16000 * 40)).astype(np.float32)
         l40 = float(integrated_loudness(jnp.asarray(y), 16000))
         assert np.isfinite(l40) and -40 < l40 < 0
+
+
+class TestFbankBf16Backend:
+    def test_matmul_bf16_close_to_f32(self):
+        """bf16-operand DFT (the streaming trunk's fbank hot path) tracks
+        the f32 matmul-DFT log-mel: tight in the mean, loose at the max
+        (near-zero-power bins amplify bf16 rounding through the log; the
+        embedding-level effect measured min-cos 0.999999 on chip shapes)."""
+        from speech_diarization_tpu.dsp.mel import log_mel_spectrogram
+
+        y = jnp.asarray(np.random.default_rng(0)
+                        .standard_normal((2, 32000)).astype(np.float32) * 0.3)
+        a = np.asarray(log_mel_spectrogram(y))
+        b = np.asarray(log_mel_spectrogram(y, backend="matmul-bf16"))
+        assert float(np.abs(a - b).mean()) < 0.01
+        assert float(np.abs(a - b).max()) < 1.0

@@ -204,8 +204,12 @@ class TestSegmentationPipeline:
         truth = SegmentArray(s, e, k)
         # speech-like voices through the band-energy probe encoder sit at
         # ~0.92 cross-speaker cosine (vs ~0.998 within) — cut at 0.96, the
-        # same calibration as test_quality.py's speech-like AHC test
-        cfg = SegmentationConfig(cos_threshold=0.96)
+        # same calibration as test_quality.py's speech-like AHC test.  The
+        # backend is pinned to AHC: the threshold is an AHC calibration,
+        # and the production spectral default's sharpened affinity is
+        # calibrated for real-encoder statistics, not this probe's ~0.92
+        # cross-speaker band (measured conf 46% on probe embeddings).
+        cfg = SegmentationConfig(cos_threshold=0.96, cluster_method="ahc")
         segs = segmentation_diarize(wave, 16000, seg_fn, enc, cfg)
         assert len(segs) > 0
         d = diarization_error_rate(truth, segs, collar_s=0.25)
