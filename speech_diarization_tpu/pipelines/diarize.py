@@ -414,10 +414,21 @@ class DiarizationPipeline:
             return float("inf")
         return 10.0 * float(np.log10(p95 / max(p5, 1e-12 * p95 + 1e-30)))
 
-    def _streamed_fused_fn(self, sr: int, u: int, m_l: int, m_r: int):
-        """Jitted (prev, cur, next, scale, gain, dc) -> (probs, energy, grid)
-        over one core chunk with real neighbor context."""
-        key = ("fused", sr, u, m_l, m_r)
+    def _streamed_fused_fn(self, sr: int, u: int, m_l: int, m_r: int,
+                           ov: bool = False):
+        """Jitted (prev, cur, next, scale, gain, dc) -> (probs, energy, grid
+        [, overlap-hard]) over one core chunk with real neighbor context.
+
+        ``ov`` appends the overlap DETECTOR to the fused program: 5 s
+        windows every ``overlap.chunk_hop_s`` are sliced from the chunk's
+        RAW (dequantized, pre-preemphasis — the detector trained on raw
+        generator audio) waveform with the same shifted-reshape framing as
+        the mel frontend, and the segmentation net's hard slot decisions
+        ride the one packed pull.  The standalone rescue's whole-file
+        re-upload + separate dispatches measured 687x -> 238x RTF on the
+        600 s bench; fused, the detector costs one MXU forward per chunk
+        and ZERO extra transfers."""
+        key = ("fused", sr, u, m_l, m_r, ov)
         if getattr(self, "_fused_key", None) == key:
             return self._fused_fn
         cfg = self.cfg
@@ -430,10 +441,16 @@ class DiarizationPipeline:
         vad_fn = self.vad_probs_fn
         acfg = cfg.audio
         want_energy = cfg.vad.energy_floor_db is not None
+        ov_hard_fn = self._overlap_hard_fn() if ov else None
+        ocfg = cfg.overlap
+        win5 = int(round(ocfg.chunk_s * sr))
+        stride5 = max(1, int(round(ocfg.chunk_hop_s * sr)))
 
         def fused(c_prev, c_cur, c_next, scale, n_valid):
             y3 = jnp.concatenate([c_prev[-m_l:], c_cur, c_next[:m_r]])
             y3 = y3.astype(jnp.float32) * (scale / 32767.0)
+            y_raw = y3  # pre-gain/DC/preemphasis: the overlap detector's
+            # training distribution is raw generator audio
             if acfg.target_lufs is not None:
                 # per-chunk gated loudness over the chunk's CORE samples —
                 # the whole-file meter would make every chunk's compute wait
@@ -468,7 +485,16 @@ class DiarizationPipeline:
                     y3[None], hop=hop_v, n_extra=1)[0, f0:f1 + 1]
             grid = model.encode_grid_chunk(params, y3, wpc, m_l,
                                            grid_win, grid_hop)
-            return (probs, energy, grid) if want_energy else (probs, grid)
+            out = (probs, energy, grid) if want_energy else (probs, grid)
+            if ov_hard_fn is not None:
+                from ..dsp.framing import frame_signal
+
+                wpsc = u // stride5
+                seg_in = y_raw[m_l:m_l + (wpsc - 1) * stride5 + win5]
+                wins = frame_signal(seg_in[None], win5, stride5,
+                                    pad_tail=False)[0]     # [wpsc, win5]
+                out = out + (ov_hard_fn(wins).astype(jnp.float32),)
+            return out
 
         self._fused_key = key
         self._fused_fn = jax.jit(fused)
@@ -541,7 +567,22 @@ class DiarizationPipeline:
                 and self._last_snr_db < cfg.enhance.auto_snr_db):
             return None  # enhancement engaged: take the legacy path
 
-        fused = self._streamed_fused_fn(sr, u, m_l, m_r)
+        # fused overlap detector: only when enabled, the noise veto passes
+        # (same gate as the rescue site — the conversation-trained detector
+        # hallucinates on babble beds), the window grid divides the chunk,
+        # and a checkpoint ships
+        ocfg = cfg.overlap
+        win5 = int(round(ocfg.chunk_s * sr))
+        stride5 = max(1, int(round(ocfg.chunk_hop_s * sr)))
+        snr = self._last_snr_db
+        ov = bool(
+            ocfg.enabled
+            and (ocfg.min_snr_db is None or snr is None
+                 or snr >= ocfg.min_snr_db)
+            and u % stride5 == 0 and win5 - stride5 <= m_r
+            and self._overlap_hard_fn() is not None)
+
+        fused = self._streamed_fused_fn(sr, u, m_l, m_r, ov)
         s = jnp.float32(scale)
         want_energy = cfg.vad.energy_floor_db is not None
         outs = []
@@ -557,11 +598,12 @@ class DiarizationPipeline:
         # small outputs separately paid a ~25 ms tunnel round trip EACH
         # (measured 0.9 s for 3.5 MB at 600 s — the new long pole once the
         # uploads overlapped compute)
-        per = 3 if want_energy else 2
-        pack_key = (n_chunks, want_energy)
+        per = (3 if want_energy else 2) + (1 if ov else 0)
+        pack_key = (n_chunks, want_energy, ov)
         packers = getattr(self, "_pack_fns", None)
         if packers is None:
             packers = self._pack_fns = {}
+        g_idx = 2 if want_energy else 1  # grid position within a row
         if pack_key not in packers:
 
             def pack(*flat):
@@ -575,28 +617,40 @@ class DiarizationPipeline:
                 if want_energy:
                     parts.append(jnp.concatenate(
                         [r[1][:-1] for r in rows[:-1]] + [rows[-1][1]]))
-                grid = jnp.concatenate([r[-1] for r in rows])
+                grid = jnp.concatenate([r[g_idx] for r in rows])
                 parts.append(grid.reshape(-1).astype(jnp.float32))
+                if ov:
+                    parts.append(jnp.concatenate(
+                        [r[-1].reshape(-1) for r in rows]))
                 return jnp.concatenate(parts)
 
             packers[pack_key] = jax.jit(pack)
         flat_args = [a for o in outs for a in o]
-        emb_dim = outs[0][-1].shape[-1]
+        emb_dim = outs[0][g_idx].shape[-1]
         flat_dev = packers[pack_key](*flat_args)  # async dispatch, no pull
 
-        return {
+        st = {
             "flat_dev": flat_dev,
             "n_frames": t // hop_v + 1,
             "w_total": _nf(t, grid_win, grid_hop, pad_tail=True),
             "n_probs": n_chunks * (u // hop_v) + 1,
             "want_energy": want_energy,
             "emb_dim": emb_dim,
+            "grid_len": n_chunks * (u // grid_hop) * emb_dim,
             "starts_s": window_starts(
                 t, sr, cfg.reseg.win_s, cfg.reseg.hop_s) / sr,
             "t": t, "sr": sr,
             "snr_db": self._last_snr_db,
             "floor_hf": getattr(self, "_last_floor_hf_frac", 1.0),
+            "ov": ov,
         }
+        if ov:
+            seg_f, seg_k = outs[0][-1].shape[1], outs[0][-1].shape[2]
+            st["ov_shape"] = (n_chunks * (u // stride5), seg_f, seg_k)
+            # windows the standalone detector would have scored: the rest
+            # cover tail padding
+            st["ov_n"] = max(1, -(-max(t - win5, 0) // stride5) + 1)
+        return st
 
     def _streamed_collect(self, st: dict):
         """Pull phase of the streamed ingest: ONE flat device->host read +
@@ -613,7 +667,12 @@ class DiarizationPipeline:
         if st["want_energy"]:
             energy = flat[off:off + n_probs][:n_frames]
             off += n_probs
-        grid = flat[off:].reshape(-1, st["emb_dim"])[:st["w_total"]]
+        grid = (flat[off:off + st["grid_len"]]
+                .reshape(-1, st["emb_dim"])[:st["w_total"]])
+        if st.get("ov"):
+            off += st["grid_len"]
+            st["ov_acts"] = (flat[off:].reshape(st["ov_shape"])
+                             [:st["ov_n"]])
         return probs, energy, grid, st["starts_s"], st["t"] / st["sr"]
 
     # ----------------------------------------------------------------- vad --
@@ -681,9 +740,19 @@ class DiarizationPipeline:
         if len(speech) == 0:
             empty = SegmentArray.from_pairs([])
             return DiarizationResult(empty, empty, 0)
+        overlap_regions = None
+        if st.get("ov_acts") is not None:
+            from ..segment.overlap import regions_from_hard_acts
+
+            overlap_regions = regions_from_hard_acts(
+                st["ov_acts"], total_s,
+                chunk_hop_s=cfg.overlap.chunk_hop_s,
+                min_on_s=cfg.overlap.min_on_s,
+                min_gap_s=cfg.overlap.min_gap_s)
         return self._segments_from_grid(
             speech, probs, win_embs, starts_s, total_s, {},
-            y=st.get("y_host"), sr=st["sr"])
+            y=st.get("y_host"), sr=st["sr"],
+            overlap_regions=overlap_regions)
 
     def __call__(self, source, collect_diagnostics: bool = False) -> DiarizationResult:
         sr = self.cfg.audio.sample_rate
@@ -781,7 +850,8 @@ class DiarizationPipeline:
             dict(collect=collect_diagnostics), y=y, sr=sr)
 
     def _segments_from_grid(self, speech, probs, win_embs, starts_s, total_s,
-                            diag, y=None, sr=None) -> DiarizationResult:
+                            diag, y=None, sr=None,
+                            overlap_regions=None) -> DiarizationResult:
         """Shared SCD → embed → cluster → refine → merge → (reseg) tail,
         fed by either the streamed or the legacy grid path."""
         cfg = self.cfg
@@ -873,7 +943,15 @@ class DiarizationPipeline:
             speech4 = speech3
 
         final = merge_adjacent(speech4, cfg.merge.max_gap_s)
-        if cfg.overlap.enabled and y is not None:
+        if cfg.overlap.enabled and overlap_regions is not None:
+            # streamed path: detector activities came out of the fused
+            # per-chunk program (gate already applied at dispatch)
+            with stage_timer(log, "overlap-rescue"):
+                final = self._overlap_rescue(
+                    y, sr or cfg.audio.sample_rate, final,
+                    win_embs, starts_s, grid_win_s,
+                    regions=overlap_regions)
+        elif cfg.overlap.enabled and y is not None:
             snr = getattr(self, "_last_snr_db", None)
             floor = cfg.overlap.min_snr_db
             if snr is not None and floor is not None and snr < floor:
@@ -906,12 +984,12 @@ class DiarizationPipeline:
         return DiarizationResult(final, speech, num_speakers, diagnostics)
 
     # ------------------------------------------------------------ overlap --
-    def _overlap_rescue(self, y, sr, final, win_embs, starts_s, win_s):
-        """Second-speaker segments from the segmentation model's overlap
-        detections (segment/overlap.py) on top of the flagship map."""
-        if not hasattr(self, "_overlap_fn"):
+    def _overlap_seg(self):
+        """Lazy (model, params) for the overlap detector, or None.  Shared
+        by the fused streamed path (the model runs INSIDE the per-chunk
+        device program) and the legacy standalone detect."""
+        if not hasattr(self, "_overlap_seg_mp"):
             from ..utils.weights import prefer_weights
-            from .segmentation import make_seg_activities_fn
 
             w = self.cfg.overlap.weights or prefer_weights(
                 ("segmentation_conv.npz", "segmentation_xf.npz",
@@ -920,17 +998,57 @@ class DiarizationPipeline:
             if w is None:
                 log.warning("overlap rescue: no segmentation checkpoint "
                             "ships — stage disabled")
-                self._overlap_fn = None
+                self._overlap_seg_mp = None
             else:
                 from ..train.recipes import load_segmentation
 
-                model, params = load_segmentation(w)
-                self._overlap_fn = make_seg_activities_fn(model, params)
-        if self._overlap_fn is None:
-            return final
-        from ..segment.overlap import add_overlap_segments, detect_overlap_regions
+                self._overlap_seg_mp = load_segmentation(w)
+        return self._overlap_seg_mp
+
+    def _overlap_hard_fn(self):
+        """Pure ``[n, T] -> [n, F, K]`` HARD slot decisions, traceable
+        inside the fused streamed program (no jit wrapper of its own)."""
+        mp = self._overlap_seg()
+        if mp is None:
+            return None
+        model, params = mp
+        if getattr(model.net, "powerset", False):
+            memb = jnp.asarray(model.net.membership())
+
+            def hard(chunks):
+                lg = model.head_logits(params, chunks)
+                return memb[jnp.argmax(lg, axis=-1)]
+
+            return hard
+        return lambda chunks: (model.activities(params, chunks) >= 0.5
+                               ).astype(jnp.float32)
+
+    def _overlap_rescue(self, y, sr, final, win_embs, starts_s, win_s,
+                        regions=None):
+        """Second-speaker segments from the segmentation model's overlap
+        detections (segment/overlap.py) on top of the flagship map.
+        ``regions`` short-circuits the standalone detect when the streamed
+        ingest already computed the detector activities in its fused
+        per-chunk program (the standalone whole-file re-upload measured
+        687x -> 238x RTF on the 600 s bench)."""
+        from ..segment.overlap import add_overlap_segments
 
         ocfg = self.cfg.overlap
+        if regions is not None:
+            return add_overlap_segments(
+                final, regions, win_embs, np.asarray(starts_s), win_s,
+                min_cos=ocfg.min_cos,
+                max_overlap_frac=ocfg.max_overlap_frac)
+        if not hasattr(self, "_overlap_fn"):
+            from .segmentation import make_seg_activities_fn
+
+            mp = self._overlap_seg()
+            self._overlap_fn = (None if mp is None
+                                else make_seg_activities_fn(*mp))
+        if self._overlap_fn is None:
+            return final
+        from ..segment.overlap import detect_overlap_regions
+
         regions = detect_overlap_regions(
             np.asarray(y, np.float32), sr, self._overlap_fn,
             chunk_s=ocfg.chunk_s, chunk_hop_s=ocfg.chunk_hop_s,

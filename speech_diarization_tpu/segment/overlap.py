@@ -87,11 +87,29 @@ def detect_overlap_regions(
         acts = acts[..., acts.shape[-1] // 2:]  # hard decisions
     else:
         acts = (acts >= 0.5).astype(np.float32)
+    return regions_from_hard_acts(acts, len(y) / sr, chunk_hop_s=chunk_hop_s,
+                                  hop_ms=hop_ms, min_on_s=min_on_s,
+                                  min_gap_s=min_gap_s)
 
+
+def regions_from_hard_acts(
+    acts: np.ndarray,
+    total_s: float,
+    chunk_hop_s: float = 2.5,
+    hop_ms: float = 10.0,
+    min_on_s: float = 0.3,
+    min_gap_s: float = 0.15,
+) -> SegmentArray:
+    """[n_chunks, F, K] HARD slot decisions (chunks every ``chunk_hop_s``)
+    -> overlap regions.  Host post-processing half of
+    :func:`detect_overlap_regions`, shared with the streamed ingest where
+    the activities come out of the fused per-chunk device program (the
+    standalone path's whole-file re-upload measured 687x -> 238x RTF on
+    the 600 s bench — the fused path computes them for free)."""
     hop_f = hop_ms / 1000.0
-    f_per_chunk = acts.shape[1]
+    n_chunks, f_per_chunk = acts.shape[0], acts.shape[1]
     stride_f = int(round(chunk_hop_s / hop_f))
-    total_f = int(len(y) / sr / hop_f) + 1
+    total_f = int(total_s / hop_f) + 1
     n_active = np.zeros(total_f, np.float32)
     trim = max(0, (f_per_chunk - stride_f) // 2)
     for c in range(n_chunks):
