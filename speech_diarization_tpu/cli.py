@@ -59,11 +59,13 @@ def _add_common_config_args(p: argparse.ArgumentParser) -> None:
                         "file measures noisy")
     p.add_argument("--enhance-weights", type=str, default=None,
                    help=".npz checkpoint override for the enhancer")
-    p.add_argument("--overlap", action="store_true",
+    p.add_argument("--overlap", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="overlap rescue: add second-speaker segments where "
                         "the segmentation model detects >=2 active speakers "
                         "(segment/overlap.py; the flagship map stays "
-                        "authoritative for speaker identity)")
+                        "authoritative for speaker identity).  Default ON "
+                        "(config default); --no-overlap disables")
     p.add_argument("--overlap-weights", type=str, default=None,
                    help="segmentation checkpoint for the overlap detector")
     p.add_argument("--encoder", default="ecapa",
@@ -122,7 +124,9 @@ def build_config(args: argparse.Namespace):
             min_cos=args.merge_min_cos,
         ),
         overlap=OverlapConfig(
-            enabled=getattr(args, "overlap", False),
+            # tri-state: None = keep the config default (ON since r5)
+            **({} if getattr(args, "overlap", None) is None
+               else {"enabled": args.overlap}),
             weights=getattr(args, "overlap_weights", None),
         ),
     )

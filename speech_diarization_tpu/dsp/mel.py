@@ -113,10 +113,20 @@ def log_mel_spectrogram(
         y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
 
     frames = frame_signal(y, n_fft, hop, pad_tail=False)  # [B, n, n_fft]
-    window = hann_window(n_fft, periodic=True)
-    frames = frames * window[None, None, :]
-
+    # The Hann window FOLDS INTO the DFT matrices (windowing is elementwise
+    # on the contraction axis: sum_t f_t*w_t*cos(tk) = f @ (w ⊙ cos)) —
+    # measured 2026-08-21 (scripts/bench_fbank_stages.py, chip, streaming
+    # chunk shape): the explicit ``frames * window`` broadcast forced the
+    # lazily-framed [B, n, n_fft] tensor to materialize and cost 1.74 ms of
+    # the 1.76 ms fbank wall, while the DFT einsums consuming the fused
+    # framing were ~0.02 ms.  Same math, zero extra ops.
+    # pure-numpy periodic Hann (same formula as stft.hann_window, which
+    # returns a jnp array — not convertible back to numpy inside a trace)
+    window = (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft)
+              ).astype(np.float32)
     cos_m, msin_m = _dft_matrices(n_fft)
+    cos_m = cos_m * window[:, None]
+    msin_m = msin_m * window[:, None]
     if (backend or _fbank_backend()) == "matmul-bf16":
         # bf16 DFT operands, f32 accumulation: 2x MXU rate / half the HBM
         # for the one matmul that dominates the streaming trunk's fbank

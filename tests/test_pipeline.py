@@ -56,6 +56,13 @@ def make_pipeline(**overrides):
         scd=cfg_mod.ScdConfig(enabled=True),
         cluster=cfg_mod.ClusterConfig(method=overrides.pop("method", "spectral"),
                                       max_speakers=6),
+        # the production overlap-rescue default is exercised by the real-
+        # checkpoint tests (test_overlap.TestFusedStreamedDetector, the
+        # heldout gates); THIS harness drives pure AM tones through a fake
+        # band-energy encoder — out-of-family for the conversation-trained
+        # detector (which reads a 2.4 kHz tone as two powerset speakers)
+        # and for the cosine attribution (fake embeddings pass any floor)
+        overlap=overrides.pop("overlap", cfg_mod.OverlapConfig(enabled=False)),
         **overrides,
     )
     return DiarizationPipeline(cfg, encode_fn=_fake_encoder)
