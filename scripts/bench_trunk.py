@@ -54,7 +54,12 @@ def amortized(fn, seg, iters=4, K=16, label=""):
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fnK(seg))
+        # pull ONE scalar instead of block_until_ready: a 2026-08-21 axon
+        # session returned from block_until_ready instantly (0.002 ms
+        # "timings" for the whole encoder) while the separately-run bench's
+        # value-pulling micro-bench read real times — the pull is the only
+        # trustworthy barrier on this tunnel
+        float(jnp.sum(fnK(seg)))
         best = min(best, (time.perf_counter() - t0) / K)
     print(f"{label}: {best * 1000:.3f} ms (chained K={K}, best of {iters})",
           flush=True)

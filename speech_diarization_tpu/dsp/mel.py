@@ -108,6 +108,16 @@ def log_mel_spectrogram(
     n_fft = win
     f_max = f_max if f_max is not None else sample_rate / 2 - 100.0
 
+    if y.shape[0] == 1 and center and n_fft <= 3 * hop:
+        # single-waveform fast path (the streaming trunk's shape): every op
+        # here stays 1-D or [n, hop]-blocked.  A [1, T] 2-D signal gets the
+        # degenerate T(1,128) tiling — one sublane of eight — and the
+        # profiler showed the reflect pad (2.8 ms), reshape (1.0 ms) and
+        # f32->bf16 converts (1.9 ms) running at ~1/8 efficiency while the
+        # DFT matmuls were 0.44 ms (xplane trace, 2026-08-21).
+        return _log_mel_1d(y[0], sample_rate, n_mels, n_fft, hop,
+                           f_min, f_max, eps)[None]
+
     if center:
         pad = n_fft // 2
         y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
@@ -149,6 +159,52 @@ def log_mel_spectrogram(
     fb = mel_filterbank(n_fft // 2 + 1, f_min, f_max, n_mels, sample_rate)
     mel = jnp.einsum("bnk,km->bnm", power, fb)
     return jnp.log(mel + eps)
+
+
+@lru_cache(maxsize=8)
+def _blocked_dft_weights(n_fft: int, hop: int, n_blocks: int):
+    """Windowed DFT basis split into ``n_blocks`` per-block [hop, n_bins]
+    factors (zero rows beyond n_fft), for the blocked 1-D fast path."""
+    window = (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft)
+              ).astype(np.float32)
+    cos_m, msin_m = _dft_matrices(n_fft)
+    n_bins = cos_m.shape[1]
+    cw = np.zeros((n_blocks * hop, n_bins), np.float32)
+    sw = np.zeros((n_blocks * hop, n_bins), np.float32)
+    cw[:n_fft] = cos_m * window[:, None]
+    sw[:n_fft] = msin_m * window[:, None]
+    return ([cw[j * hop:(j + 1) * hop] for j in range(n_blocks)],
+            [sw[j * hop:(j + 1) * hop] for j in range(n_blocks)])
+
+
+def _log_mel_1d(y: jax.Array, sample_rate: int, n_mels: int, n_fft: int,
+                hop: int, f_min: float, f_max: float, eps: float) -> jax.Array:
+    """[T] -> [n_frames, n_mels] log-mel via the BLOCKED windowed DFT.
+
+    Frame ``i`` starts at sample ``i*hop`` of the reflect-padded signal and
+    spans ``n_blocks*hop`` samples (DFT rows past n_fft are zero), so
+    ``real = sum_j blocks[j:j+n] @ Wc[j]`` over CONTIGUOUS slices of the
+    [n_blocks_total, hop] block-reshaped signal: no framed tensor, no
+    concat feeding the matmul, and — the actual win — no [1, T] layout
+    anywhere (see the call-site comment).  Algebraically identical to the
+    frame+einsum path; summation order differs (parity gated in
+    tests/test_dsp.py)."""
+    pad = n_fft // 2
+    yp = jnp.concatenate([y[1:pad + 1][::-1], y, y[-pad - 1:-1][::-1]])
+    n_blocks = -(-n_fft // hop)
+    t = yp.shape[0]
+    n = (t - n_fft) // hop + 1
+    nb = n + n_blocks - 1
+    # zero-pad to nb whole blocks: padded samples only meet the ZERO rows
+    # of the block weights (n_fft <= n_blocks*hop), so the result is exact
+    yp = jnp.pad(yp, (0, max(0, nb * hop - t)))
+    blocks = yp[:nb * hop].reshape(nb, hop)
+    wc, ws = _blocked_dft_weights(n_fft, hop, n_blocks)
+    real = sum(blocks[j:j + n] @ jnp.asarray(wc[j]) for j in range(n_blocks))
+    imag = sum(blocks[j:j + n] @ jnp.asarray(ws[j]) for j in range(n_blocks))
+    power = real * real + imag * imag                       # [n, n_bins]
+    fb = mel_filterbank(n_fft // 2 + 1, f_min, f_max, n_mels, sample_rate)
+    return jnp.log(power @ fb + eps)
 
 
 def fbank_batch(

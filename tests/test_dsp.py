@@ -324,3 +324,16 @@ class TestFbankBf16Backend:
         b = np.asarray(log_mel_spectrogram(y, backend="matmul-bf16"))
         assert float(np.abs(a - b).mean()) < 0.01
         assert float(np.abs(a - b).max()) < 1.0
+
+    def test_blocked_1d_fast_path_matches_batched(self):
+        """The B==1 blocked-DFT fast path (no [1, T] degenerate-layout
+        tensors — see the xplane-profile note in dsp/mel.py) must match
+        the batched frame+einsum path to f32 summation-order tolerance."""
+        from speech_diarization_tpu.dsp.mel import log_mel_spectrogram
+
+        y = jnp.asarray(np.random.default_rng(1)
+                        .standard_normal(48000).astype(np.float32) * 0.3)
+        a = np.asarray(log_mel_spectrogram(y[None]))[0]      # fast path
+        b = np.asarray(log_mel_spectrogram(jnp.stack([y, y])))[0]
+        n = min(a.shape[0], b.shape[0])
+        np.testing.assert_allclose(a[:n], b[:n], atol=1e-3)
