@@ -97,9 +97,15 @@ class TestClusterBackendQuality:
     def test_der_under_2pct(self, method):
         from speech_diarization_tpu.train.synthetic import make_tone_conversation
 
+        from speech_diarization_tpu.config import OverlapConfig
+
         cfg = DiarizationConfig(
             audio=AudioConfig(target_lufs=None, preemphasis=None),
             cluster=ClusterConfig(method=method, max_speakers=6),
+            # tone harness + fake encoder: out-of-family for the default-on
+            # overlap rescue (see tests/test_pipeline.make_pipeline) — this
+            # test isolates the CLUSTER backends
+            overlap=OverlapConfig(enabled=False),
         )
         pipe = DiarizationPipeline(cfg, encode_fn=_fake_encoder)
         ders = []
