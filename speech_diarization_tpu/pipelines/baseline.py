@@ -67,12 +67,16 @@ class Diarizer:
             model = SegmentationModel()
             from ..utils.weights import WEIGHTS_ROOT, prefer_weights
 
-            # ow3 = overlap-weighted PIT-CE warm continuation (8000 chip
-            # steps): best-perm 0.861 indomain / 0.747 overlapped frames vs
-            # powerset 0.857/0.715 (scripts/eval_segmentation.py, 2026-08-19)
+            # conv = the full-budget conversation-mix xf checkpoint
+            # (chip_queue13): seg-eval-v1 frame 0.8905/0.8958/0.9042
+            # (indomain/multicond/conversation) and — with the spectral
+            # engine default — pipeline DER 9.41% vs the flagship's 10.77%
+            # on overlapping files (2026-08-21); ow3 keeps 0.9025 indomain
+            # but collapses on conversations (0.604)
             seg_weights = seg_weights or prefer_weights(
-                ("segmentation_ow3.npz", "segmentation_powerset.npz",
-                 "segmentation_mc.npz", "segmentation_synthetic.npz")
+                ("segmentation_conv.npz", "segmentation_ow3.npz",
+                 "segmentation_powerset.npz", "segmentation_mc.npz",
+                 "segmentation_synthetic.npz")
             ) or WEIGHTS_ROOT / "segmentation_synthetic.npz"
             if Path(seg_weights).exists():
                 from ..train.recipes import load_segmentation
