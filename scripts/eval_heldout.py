@@ -103,11 +103,12 @@ def build_pipeline(cpu_dtype: bool, enc_weights: str | None = None,
         cluster=ClusterConfig(
             method="spectral", max_speakers=8,
             refine_splits=os.environ.get("SDTPU_EVAL_REFINE", "1") == "1"),
-        # SDTPU_EVAL_OVERLAP=1 enables the overlap-rescue stage
-        # (segment/overlap.py) on top of the flagship map;
-        # SDTPU_EVAL_OVERLAP_WEIGHTS overrides the detector checkpoint
+        # SDTPU_EVAL_OVERLAP=1/0 overrides the overlap-rescue stage
+        # (segment/overlap.py); unset = the production default (ON since
+        # r5).  SDTPU_EVAL_OVERLAP_WEIGHTS overrides the detector ckpt
         overlap=OverlapConfig(
-            enabled=os.environ.get("SDTPU_EVAL_OVERLAP", "0") == "1",
+            **({} if os.environ.get("SDTPU_EVAL_OVERLAP") is None
+               else {"enabled": os.environ["SDTPU_EVAL_OVERLAP"] == "1"}),
             weights=os.environ.get("SDTPU_EVAL_OVERLAP_WEIGHTS")),
         # mirrors the production default (noise-adaptive vad-scope denoise).
         # SDTPU_EVAL_ENHANCE=off disables; =gtcrn|zipenhancer forces a
