@@ -27,6 +27,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--weights", default="weights/segmentation_conv.npz")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--hops-only", action="store_true",
+                    help="only the chunk-hop variants (quick follow-up)")
+    ap.add_argument("--alt-seeds", action="store_true",
+                    help="held-out validation draw (7100+) instead of the "
+                         "pinned 4000+ files")
     args = ap.parse_args()
 
     import jax
@@ -63,15 +68,27 @@ def main() -> None:
     seg_model, seg_params = load_segmentation(args.weights)
     seg_fn = make_seg_activities_fn(seg_model, seg_params)
 
-    variants = {
-        "ahc0.70": SegmentationConfig(),
-        "ahc0.60": SegmentationConfig(cos_threshold=0.60),
-        "ahc0.80": SegmentationConfig(cos_threshold=0.80),
-        "spectral": SegmentationConfig(cluster_method="spectral"),
+    variants = {} if args.hops_only else {
+        "ahc0.70": SegmentationConfig(cluster_method="ahc"),
+        "ahc0.60": SegmentationConfig(cluster_method="ahc",
+                                      cos_threshold=0.60),
+        "spectral": SegmentationConfig(),   # shipped default (r5)
+        # miss levers on the spectral default (engine miss 7.11 dominates)
+        "spec_minon.15": SegmentationConfig(min_on_s=0.15),
+        "spec_minoff.2": SegmentationConfig(min_off_s=0.20),
+        "spec_hop1.25": SegmentationConfig(chunk_hop_s=1.25),
+        "spec_hop0.625": SegmentationConfig(chunk_hop_s=0.625),
     }
+    if args.hops_only:
+        variants = {
+            "spec_hop1.25": SegmentationConfig(chunk_hop_s=1.25),
+            "spec_hop0.625": SegmentationConfig(chunk_hop_s=0.625),
+        }
     files = []
-    for i in range(3):
-        rng = np.random.default_rng(4000 + i)
+    seeds = ([4000 + i for i in range(3)] if not args.alt_seeds
+             else [7100 + i for i in range(3)])
+    for sd in seeds:
+        rng = np.random.default_rng(sd)
         wave, (s, e, k) = make_conversation_heldout(
             rng, 60.0, n_speakers=3, sr=sr, overlap_frac=0.3)
         files.append((wave, SegmentArray(s, e, k)))

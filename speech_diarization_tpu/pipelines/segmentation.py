@@ -40,9 +40,16 @@ class SegmentationConfig:
     # chunk stride; < chunk_s scores OVERLAPPING chunks and keeps only each
     # chunk's center frames (pyannote's aggregation-with-warm-up-trim idea:
     # the BiGRU has least context at chunk edges, so edge frames are the
-    # least reliable — with 50% overlap every frame is covered by exactly
-    # one chunk CENTER).  None = non-overlapping chunks (old behavior).
-    chunk_hop_s: float | None = 2.5
+    # least reliable).  None = non-overlapping chunks (old behavior).
+    # MEASURED 2026-08-21 (exp_engine_cluster.py, conv ckpt + spectral,
+    # pinned seg-eval-v1 files / alternate 7100+ draw): denser tiling wins
+    # monotonically — hop 2.5 s reads 9.41/13.56% DER, 1.25 s 4.87/8.15,
+    # 0.625 s **4.29/4.62** (conf collapses to 0.66/1.05: every frame is
+    # judged by a chunk where it sits at the very center, and the slot
+    # segments fragment less so the global clustering sees cleaner
+    # pools).  8 chunks per 5 s is engine-path compute (one batched
+    # dispatch), not the flagship bench path.
+    chunk_hop_s: float | None = 0.625
     # pyannote-style aggregation: align each chunk's slot permutation to the
     # running global aggregate on their overlap, Hann-weight-average aligned
     # activities onto one global [T, K] timeline, binarize ONCE globally —
